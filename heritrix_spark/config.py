@@ -1,0 +1,133 @@
+"""Crawl configuration + the normative superstep scheduling law.
+
+Reference anchors (class-level; /root/reference was empty at build time —
+see SURVEY.md §0): ``org/archive/crawler/frontier/AbstractFrontier.java``
+(politeness/retry policy knobs), ``WorkQueueFrontier.java`` (budget law),
+``org/archive/crawler/datamodel/CandidateURI.java`` (scheduling directives),
+``org/archive/crawler/datamodel/FetchStatusCodes.java`` (status constants).
+
+THE SUPERSTEP LAW (engine-normative; the pure-Python oracle in
+``oracle/heritrix_sim.py`` and the Spark engine in
+``heritrix_spark/plans/crawl_job.py`` implement it identically):
+
+Virtual time.  All timestamps are virtual milliseconds on a 500 ms lattice
+(fetch durations are quantized), so queue wake-ups tie across hosts and each
+superstep batches many queues — the BSP image of Heritrix's continuous
+ToeThread loop.  One superstep:
+
+1. ``ready_ts(q) = max(wake_ts(q), min earliest_ts over q's items)`` per
+   nonempty, non-retired queue; ``now = max(prev_now, min ready_ts)``;
+   halt when no queue remains.
+2. Due queues: ``wake_ts < now + window_ms`` and at least one item with
+   ``earliest_ts <= now``.
+3. Per due queue, order eligible items by ``(directive, cost, ordinal)``
+   (the BdbMultipleWorkQueues#calculateInsertKey composite-key order) and
+   fetch a *burst* sequentially in virtual time starting at
+   ``s0 = max(wake_ts, now)``: each item occupies
+   ``fetch_ms + politeness_delay`` (robots-precluded items occupy 0 ms and
+   are disregarded).  The burst stops at the first item whose start would
+   be ``>= now + window_ms``, or whose cumulative charge would exceed the
+   session balance, or at ``burst_max`` items.  max-per-host in-flight = 1
+   by construction (sequential virtual times never overlap).
+4. ``politeness_delay = clamp(delay_factor * fetch_ms, min_delay_ms,
+   max_delay_ms)``; with ``honor_crawl_delay`` the per-host robots
+   Crawl-delay is a floor on top (Heritrix 1.x ignores it; north_rule
+   requires it — superset mode, OFF in reference-equivalence tests).
+5. Disposition: 200 → success (payload lands in ``fetched``); 404 → fatal
+   failure; 503 → retry with ``earliest_ts = fetch_end + retry_delay_ms``
+   until ``max_retries``; -9998 robots-precluded → disregarded.  Failures
+   charge ``error_penalty`` on top of the item cost.
+6. Queue updates: ``wake_ts = s0 + Σ occupied ms``; ``session_balance``
+   decremented by charges, replenished to ``balance_replenish`` when
+   exhausted (activation analog); queue retired when ``total_expenditure
+   >= total_budget`` (if budget >= 0).
+7. Outlinks of 200-fetches are canonicalized, scope-filtered, deduplicated
+   (intra-batch, then anti-join against ``seen``), ordered by
+   ``(parent class_key, outlink index)`` — a total order because in-flight
+   = 1 per queue makes parent class_key unique per step — and appended to
+   their target queues with the next per-queue ordinals.  A queue's first
+   items are always the two prerequisites ``dns:host`` then
+   ``http://host/robots.txt`` at directive HIGH (PreconditionEnforcer
+   semantics, expressed as ordinary queue items).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Scheduling directives — CandidateURI scheduling constants.
+HIGHEST = 0
+HIGH = 1  # prerequisites (dns, robots)
+MEDIUM = 2  # seeds
+NORMAL = 3  # ordinary discovered URIs
+
+# Fetch status codes (Heritrix FetchStatusCodes parity where meaningful).
+S_OK = 200
+S_NOT_FOUND = 404
+S_RETRY = 503
+S_ROBOTS_PRECLUDED = -9998
+S_TOO_MANY_RETRIES = -6
+
+# Lineage / RecoveryJournal event tags.
+EV_SCHEDULED = "F+"
+EV_SUCCESS = "Fs"
+EV_FAILURE = "Ff"
+EV_DISREGARD = "Fd"
+EV_RETRY = "Fr"
+EV_EMITTED = "Fe"
+
+# Virtual-time lattice (ms). fetch_ms = LATTICE_MS * (1 + url_fp mod 4).
+LATTICE_MS = 500
+DNS_FETCH_MS = 500
+
+# Deterministic transient-failure rule: first attempt of a real URI whose
+# fingerprint ≡ 0 (mod RETRY_MOD) returns 503.
+RETRY_MOD = 13
+
+KIND_DNS = "dns"
+KIND_ROBOTS = "robots"
+KIND_REAL = "real"
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Politeness / budget / scope knobs (AbstractFrontier + scope defaults)."""
+
+    delay_factor: float = 5.0
+    min_delay_ms: int = 3000
+    max_delay_ms: int = 30000
+    retry_delay_ms: int = 900_000
+    max_retries: int = 30
+    balance_replenish: int = 3000
+    error_penalty: int = 100
+    total_budget: int = -1  # -1 = unlimited (queue never retired)
+    burst_max: int = 64
+    window_ms: int = 60_000
+    cost_policy: str = "unit"  # unit | wag | anticalendar
+    honor_crawl_delay: bool = False  # engine superset mode (SURVEY §2.H R3)
+    # Scope (DecideRule fold)
+    max_link_hops: int = 20
+    max_trans_hops: int = 3
+    max_path_segments: int = 20
+    pathological_repeats: int = 2
+    surt_prefixes: tuple[str, ...] = field(default=())  # empty = broad scope
+    max_steps: int = 10_000
+
+    def politeness_ms(self, fetch_ms: int, crawl_delay_ms: int = 0) -> int:
+        d = min(max(self.delay_factor * fetch_ms, self.min_delay_ms),
+                self.max_delay_ms)
+        if self.honor_crawl_delay:
+            d = max(d, crawl_delay_ms)
+        return int(d)
+
+
+def fetch_ms_of(url_fp: int, kind: str) -> int:
+    """Deterministic virtual fetch duration — 500/1000/1500/2000 ms lattice."""
+    if kind == KIND_DNS:
+        return DNS_FETCH_MS
+    return LATTICE_MS * (1 + (url_fp % 4 + 4) % 4)
+
+
+def is_retry_status(url_fp: int, retries: int) -> bool:
+    """Deterministic 503 on first attempt (positive-mod on signed fp)."""
+    return retries == 0 and (url_fp % RETRY_MOD + RETRY_MOD) % RETRY_MOD == 0
