@@ -125,9 +125,9 @@ def fetch_ms_of(url_fp: int, kind: str) -> int:
     """Deterministic virtual fetch duration — 500/1000/1500/2000 ms lattice."""
     if kind == KIND_DNS:
         return DNS_FETCH_MS
-    return LATTICE_MS * (1 + (url_fp % 4 + 4) % 4)
+    return LATTICE_MS * (1 + url_fp % 4)  # Python floored % == Spark pmod
 
 
 def is_retry_status(url_fp: int, retries: int) -> bool:
-    """Deterministic 503 on first attempt (positive-mod on signed fp)."""
-    return retries == 0 and (url_fp % RETRY_MOD + RETRY_MOD) % RETRY_MOD == 0
+    """Deterministic 503 on first attempt."""
+    return retries == 0 and url_fp % RETRY_MOD == 0

@@ -15,6 +15,10 @@ Design requirements it satisfies (FIXTURES.md §1.2):
   power-law ``i = x3 mod (1 + (x2 mod (1 + (x1 mod H))))`` — integer-exact
   (no float pow, whose libm last-ulp differences could diverge JVM vs
   CPython), heavily skewed toward host 0.
+
+All hash values are SIGNED 64-bit (Spark ``xxhash64`` output) and every
+modulus is Python's floored ``%`` — identical to Spark's ``pmod`` on signed
+longs, so each rule is one-to-one with a JVM-side expression.
 * **Calendar-trap URLs** (~2%) exercising AntiCalendarCostAssignmentPolicy.
 * **Duplicate-variant link occurrences** (~5%) — www-prefix, session-id
   query, trailing '?', userinfo — that canonicalize back to the base URL
@@ -59,8 +63,12 @@ SPECS = {
 
 
 def _u(tag: str, *parts: int) -> int:
-    """Unsigned xxhash64 of 'tag:p1:p2:…' — the fixture RNG."""
-    return hash_str_py(tag, *[str(p) for p in parts]) & ((1 << 64) - 1)
+    """Signed xxhash64 of 'tag:p1:p2:…' — the fixture RNG.
+
+    Callers apply Python ``%`` (floored) == Spark ``pmod``; ``>>`` (floored
+    arithmetic shift) == Spark ``shiftright``.
+    """
+    return hash_str_py(tag, *[str(p) for p in parts])
 
 
 def host_index(k: int, n_hosts: int) -> int:

@@ -1,0 +1,111 @@
+"""Outlink extractor — the synthetic-web link graph as pure Spark exprs.
+
+Heritrix parity: ``org/archive/crawler/extractor/ExtractorHTML.java`` is the
+flatMap from a fetched page to candidate ``Link``s (hop types L/E/X per
+``extractor/Link.java``).  In this sandbox the "web" is the deterministic
+fixture graph (:mod:`heritrix_spark.fixtures.websim`), so the extractor is a
+closed-form ``posexplode`` over JVM-side expressions — zero Python in the
+hot path (BASELINE.json input_hint).  A real-HTML variant would swap
+``outlinks_of`` for a regex/pandas-UDF extractor with the same output
+schema; nothing downstream changes.
+
+Parity contract: every expression here mirrors a websim function one-to-one
+(Python floored ``%``/``>>`` == Spark ``pmod``/``shiftright`` on signed
+longs; ``xxhash64`` == ``hash_str_py``), property-tested in
+tests/test_extract_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heritrix_spark.fixtures.websim import (
+    FixtureSpec,
+    HOST_FMT,
+    PAGE_BUCKET,
+    SESSION_TOKEN,
+    TRAP_MOD,
+    VARIANT_MOD,
+)
+
+_HOST_PAT = HOST_FMT.replace("{:04d}", "%04d")
+
+
+def _x(tag: str, *parts: Column) -> Column:
+    """xxhash64('tag:p1:…') — mirror of websim._u."""
+    return F.xxhash64(F.concat_ws(":", F.lit(tag),
+                                  *[p.cast("string") for p in parts]))
+
+
+def host_index_expr(k: Column, n_hosts: int) -> Column:
+    b1 = F.pmod(_x("h1", k), F.lit(n_hosts))
+    b2 = F.pmod(_x("h2", k), b1 + F.lit(1))
+    return F.pmod(_x("h3", k), b2 + F.lit(1))
+
+
+def is_trap_expr(k: Column) -> Column:
+    return F.pmod(_x("trap", k), F.lit(TRAP_MOD)) == F.lit(0)
+
+
+def url_of_expr(k: Column, n_hosts: int) -> Column:
+    """Mirror of websim.url_of — canonical URL of page k."""
+    host = F.format_string(_HOST_PAT, host_index_expr(k, n_hosts))
+    trap = F.format_string(
+        "http://%s/cal/2026/%02d/%02d/img%08d",
+        host, F.lit(1) + F.pmod(k, F.lit(12)),
+        F.lit(1) + F.pmod(k, F.lit(28)), k)
+    base = F.format_string(
+        "http://%s/p/%d/img%08d",
+        host, F.floor(k / F.lit(PAGE_BUCKET)).cast("long"), k)
+    return F.when(is_trap_expr(k), trap).otherwise(base)
+
+
+def image_id_expr(url: Column) -> Column:
+    """Mirror of websim.image_id_of_url; NULL when not an image URL."""
+    s = F.regexp_extract(url, r"/img(\d{8})", 1)
+    return F.when(s == F.lit(""), F.lit(None).cast("long")).otherwise(
+        s.cast("long"))
+
+
+def variant_expr(url: Column, k: Column, j: Column) -> Column:
+    """Mirror of websim.variant_of — duplicate-variant link decoration."""
+    v = _x("var", k, j)
+    kind = F.pmod(F.shiftright(v, 8), F.lit(4))
+    decorated = (
+        F.when(kind == 0, F.regexp_replace(url, "^http://", "http://www."))
+        .when(kind == 1, F.concat(url, F.lit("?jsessionid=" + SESSION_TOKEN),
+                                  F.pmod(k, F.lit(10)).cast("string")))
+        .when(kind == 2, F.concat(url, F.lit("?")))
+        .otherwise(F.regexp_replace(url, "^http://", "http://user@"))
+    )
+    return F.when(F.pmod(v, F.lit(VARIANT_MOD)) == 0, decorated).otherwise(url)
+
+
+def outlinks_of(fetched: DataFrame, spec: FixtureSpec) -> DataFrame:
+    """Explode fetched pages into candidate links.
+
+    Input: rows with ``url`` (the fetched URL), ``hops_path``, plus any
+    parent-order columns the caller carries through.  Output: input columns
+    (parent's renamed ``via``/``parent_hops``) + ``link_idx``, ``url``,
+    ``hop``, ``hops_path``.  Trap pages and non-image URLs yield no rows.
+    """
+    k = image_id_expr(F.col("url"))
+    df = (
+        fetched.withColumn("_k", k)
+        .where(F.col("_k").isNotNull() & ~is_trap_expr(F.col("_k"))
+               & (F.col("_k") < F.lit(spec.n_images)))
+        .withColumnRenamed("url", "via")
+        .withColumnRenamed("hops_path", "parent_hops")
+    )
+    n = F.when(F.pmod(F.col("_k"), F.lit(7)) == 0, F.lit(6)).otherwise(F.lit(5))
+    hops = F.slice(F.array(*[F.lit(c) for c in "LLLEEX"]), F.lit(1), n)
+    df = df.select("*", F.posexplode(hops).alias("link_idx", "hop"))
+    t = F.pmod(_x("link", F.col("_k"), F.col("link_idx")),
+               F.lit(spec.n_link_space))
+    return (
+        df.withColumn("url", variant_expr(url_of_expr(t, spec.n_hosts),
+                                          F.col("_k"), F.col("link_idx")))
+        .withColumn("hops_path", F.concat(F.col("parent_hops"), F.col("hop")))
+        .drop("_k", "parent_hops")
+    )

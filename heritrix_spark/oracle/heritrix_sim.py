@@ -30,8 +30,7 @@ from heritrix_spark.functions.canonicalize import (
 )
 from heritrix_spark.functions.cost import POLICIES_PY
 from heritrix_spark.functions.fingerprint import url_fp_py
-from heritrix_spark.functions.hops import link_hops_py, trans_tail_py
-from heritrix_spark.functions.surt import surt_prefix_member_py, surt_py
+from heritrix_spark.operators.scope import scope_accepts_py
 
 
 @dataclass
@@ -62,33 +61,6 @@ class Queue:
     retired: bool = False
     next_ordinal: int = 0
     items: list[Item] = field(default_factory=list)
-
-
-def scope_accepts(cfg: C.CrawlConfig, url: str, hops_path: str,
-                  sorted_prefixes: list[str]) -> bool:
-    """The normative DecideRule fold (SURVEY §2.D) — mirrored by
-    heritrix_spark.operators.scope.scope_accepts_expr."""
-    if hops_path.endswith("P"):
-        return True  # PrerequisiteAcceptDecideRule
-    low = url.lower()
-    if not (low.startswith("http://") or low.startswith("https://")
-            or low.startswith("dns:")):
-        return False
-    if sorted_prefixes and not low.startswith("dns:"):
-        if not surt_prefix_member_py(surt_py(url), sorted_prefixes):
-            return False
-    if link_hops_py(hops_path) > cfg.max_link_hops:
-        return False  # TooManyHopsDecideRule
-    if trans_tail_py(hops_path) > cfg.max_trans_hops:
-        return False  # TransclusionDecideRule bound
-    path = path_of_py(url)
-    segs = [s for s in path.split("/") if s]
-    if len(segs) > cfg.max_path_segments:
-        return False  # TooManyPathSegmentsDecideRule
-    for i in range(len(segs) - cfg.pathological_repeats):
-        if len({segs[i + j] for j in range(cfg.pathological_repeats + 1)}) == 1:
-            return False  # PathologicalPathDecideRule
-    return True
 
 
 class HeritrixSim:
@@ -135,7 +107,7 @@ class HeritrixSim:
     def schedule(self, url: str, hops_path: str, via: str, is_seed: bool,
                  directive: int, discovery_ts: int) -> bool:
         """Candidate pipeline: canonicalize → scope → seen → enqueue."""
-        if not scope_accepts(self.cfg, url, hops_path, self.prefixes):
+        if not scope_accepts_py(self.cfg, url, hops_path, self.prefixes):
             return False
         canon = canonicalize_py(url)
         if canon in self.seen:

@@ -1,0 +1,581 @@
+"""CrawlJob — the Spark BSP superstep loop (the engine's CrawlController).
+
+Heritrix parity (class anchors; /root/reference empty at build time):
+``org/archive/crawler/framework/CrawlController.java`` (lifecycle, wiring),
+``framework/ToeThread.java`` (the per-URI loop, here re-expressed
+set-at-a-time), ``frontier/WorkQueueFrontier.java`` + ``BdbFrontier.java``
+(the scheduling law — see :mod:`heritrix_spark.config` for the normative
+superstep law), ``frontier/BdbMultipleWorkQueues.java#calculateInsertKey``
+(the ``(class_key | directive, cost, ordinal)`` priority order — realized
+as ``Window.partitionBy(class_key).orderBy(directive, cost, ordinal)``),
+``AbstractFrontier.java#finished`` (disposition), ``postprocessor/
+LinksScoper.java`` + ``FrontierScheduler.java`` (candidate pipeline),
+``util/BdbUriUniqFilter.java`` (URL-seen: exact anti-join on ``seen``).
+
+Dataflow per superstep (DataFrame ops, zero per-row Python):
+
+    burst  = frontier ⋈ broadcast(queue_state) → window row_number per
+             class_key over (directive, cost, ordinal) → robots verdict
+             (broadcast rules, longest-prefix HOF expr) → image-existence
+             (broadcast id set) → running sums of virtual time + budget
+             charge → prefix-closed include predicate
+    sel    = localCheckpoint(burst rows)            [1 materialization]
+    links  = outlinks_of(sel 200s) → scope fold → intra-batch dedup
+             (window) → anti-join seen → per-queue ordinals (window) →
+             prerequisite injection for new queues   [1 materialization]
+    frontier' = frontier anti-join(sel) ∪ retry-updates ∪ new rows
+                                                    [1 materialization]
+    queue_state updates (wake/balance/budget, ordinal bumps, new queues)
+             are two O(#queues) collects merged driver-side
+    lineage/fetched/metrics/seen-delta append lazily off ``sel``; durable
+    parquet snapshot + manifest line every checkpoint_interval steps
+    (exact resume — Iceberg-snapshot analog via SnapshotCatalog)
+
+State placement: the frontier, seen set, candidate batches and payloads —
+everything O(URLs) — live in DataFrames, hash-partitioned by class_key /
+canonical-URL fingerprint (bucketed storage-partitioned joins on a real
+catalog).  ``queue_state`` is O(#hosts) — a per-key dimension the driver
+merges in pandas and broadcasts back per step, exactly like Heritrix keeps
+WorkQueue records in one BDB environment beside the URI store.  At 10^8+
+queues this table shards into a DataFrame MERGE with the same columns and
+the same law; nothing else changes.
+
+Scale notes (10^10 design scale): the hot-host window is bounded by
+``burst_max`` rows per queue per step (a Zipf-head queue costs one bounded
+sort, never an unbounded one); candidate batches are bounded by
+burst × out-degree; the images existence probe broadcasts only the id
+column; payload bytes join only the selected 200-rows; the seen anti-join
+gets Spark's AQE runtime-bloom prefilter (session.py) — the bloom is a
+prefilter only, the exact join is normative (BloomUriUniqFilter's silent
+false-positive drops are exactly what the north_rule forbids).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from heritrix_spark import config as C
+from heritrix_spark.fixtures.websim import FixtureSpec
+from heritrix_spark.functions.canonicalize import (
+    canonicalize_expr,
+    class_key_expr,
+    host_expr,
+    path_expr,
+)
+from heritrix_spark.functions.cost import POLICIES_EXPR
+from heritrix_spark.operators import robots as R
+from heritrix_spark.operators.extract import image_id_expr, outlinks_of
+from heritrix_spark.operators.scope import scope_accepts_expr
+from heritrix_spark.sources.catalog import SnapshotCatalog
+
+FRONTIER_FIELDS = [
+    ("url", T.StringType()), ("canon_url", T.StringType()),
+    ("url_fp", T.LongType()), ("class_key", T.StringType()),
+    ("host", T.StringType()), ("image_id", T.StringType()),
+    ("kind", T.StringType()), ("directive", T.IntegerType()),
+    ("cost", T.IntegerType()), ("ordinal", T.LongType()),
+    ("hops_path", T.StringType()), ("via", T.StringType()),
+    ("is_seed", T.BooleanType()), ("retries", T.IntegerType()),
+    ("earliest_ts", T.LongType()),
+]
+FRONTIER_SCHEMA = T.StructType([T.StructField(n, t) for n, t in FRONTIER_FIELDS])
+FRONTIER_COLS = [n for n, _ in FRONTIER_FIELDS]
+
+QUEUE_COLS = ["class_key", "wake_ts", "balance", "expenditure", "retired",
+              "next_ordinal"]
+
+_ORD = ["_ord_ck", "_ord_rn", "_ord_j"]  # total candidate arrival order
+
+
+_QUEUE_DTYPES = {"wake_ts": "int64", "balance": "int64",
+                 "expenditure": "int64", "retired": "bool",
+                 "next_ordinal": "int64"}
+
+
+def _empty_queue_pdf() -> pd.DataFrame:
+    return pd.DataFrame({
+        "class_key": pd.Series(dtype="object"),
+        **{c: pd.Series(dtype=t) for c, t in _QUEUE_DTYPES.items()},
+    })
+
+
+def _normalize_queues(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Re-pin dtypes after pandas .loc inserts (which coerce to object)."""
+    return pdf.astype(_QUEUE_DTYPES)
+
+
+class CrawlJob:
+    """One crawl: seeds → supersteps → checkpointed engine tables."""
+
+    def __init__(self, spark: SparkSession, spec: FixtureSpec,
+                 cfg: C.CrawlConfig, images: DataFrame,
+                 robots_rules: DataFrame, host_config: DataFrame | None,
+                 work_dir: str, checkpoint_interval: int = 10):
+        self.spark = spark
+        self.spec = spec
+        self.cfg = cfg
+        self.catalog = SnapshotCatalog(spark, work_dir)
+        self.checkpoint_interval = checkpoint_interval
+        self.images = images
+        self.image_ids = F.broadcast(
+            images.select("image_id").withColumn("_exists", F.lit(True)))
+        self.rules = R.rules_per_host(robots_rules)
+        if host_config is not None:
+            self.delays_pdf = host_config.select(
+                "host", "crawl_delay_ms").toPandas()
+        else:
+            self.delays_pdf = pd.DataFrame(
+                {"host": [], "crawl_delay_ms": []})
+        self.now = 0
+        self.step = 0
+        self.done = False
+        self.frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
+        self.queues = _empty_queue_pdf()
+        self.seen = spark.createDataFrame([], "url_fp long, canon_url string")
+        self._pending: dict[str, list[DataFrame]] = {
+            "lineage": [], "fetched": [], "seen": [], "metrics": []}
+
+    # ------------------------------------------------------------------ util
+
+    def _ck(self, df: DataFrame) -> DataFrame:
+        """Materialize with bounded partition count.
+
+        The per-step state merges are unions; left alone, partition counts
+        grow additively every superstep (40 steps → ~10^3 partitions of
+        near-empty tasks).  coalesce is narrow (no shuffle) and caps the
+        materialized RDD at the session's shuffle-partition setting.
+        """
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "8"))
+        return df.coalesce(n).localCheckpoint(eager=True)
+
+    def _queues_df(self, cols: list[str]) -> DataFrame:
+        pdf = self.queues[cols]
+        if len(pdf) == 0:
+            schema = ", ".join(
+                f"{c} {'string' if c == 'class_key' else 'boolean' if c == 'retired' else 'long'}"
+                for c in cols)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(pdf)
+
+    # ----------------------------------------------------------------- seeds
+
+    def schedule_seeds(self, seed_urls: list[str]) -> None:
+        rows = [(u, "", "", True, C.MEDIUM, 0, "", 0, i)
+                for i, u in enumerate(seed_urls)]
+        cand = self.spark.createDataFrame(
+            rows, "url string, hops_path string, via string, is_seed boolean,"
+                  " directive int, earliest_ts long, _ord_ck string,"
+                  " _ord_rn int, _ord_j int")
+        c = self._ck(self._candidate_plan(cand))
+        stats = c.groupBy("class_key").agg(*self._cand_aggs()).collect()
+        pre = self._merge_candidate_queues(stats)
+        new_rows = c.select(*FRONTIER_COLS).unionByName(pre)
+        self.frontier = self._ck(self.frontier.unionByName(new_rows))
+        seen_delta = self._ck(new_rows.select("url_fp", "canon_url"))
+        self.seen = self.seen.unionByName(seen_delta)
+        self._pending["seen"].append(seen_delta)
+        self._advance_clock()
+
+    # ------------------------------------------------------------- candidates
+
+    def _candidate_plan(self, cand: DataFrame) -> DataFrame:
+        """Candidate pipeline (lazy): scope fold → canonicalize →
+        intra-batch dedup (first arrival wins) → anti-join the exact
+        ``seen`` set → per-queue ordinal assignment.
+
+        LinksScoper + FrontierScheduler + UriUniqFilter semantics
+        set-at-a-time; the anti-join is the BdbUriUniqFilter ``add``.
+        """
+        cfg = self.cfg
+        c = cand.where(scope_accepts_expr(cfg, F.col("url"),
+                                          F.col("hops_path")))
+        c = c.withColumn("canon_url", canonicalize_expr(F.col("url")))
+        w_dup = Window.partitionBy("canon_url").orderBy(*_ORD)
+        c = (c.withColumn("_dup", F.row_number().over(w_dup))
+             .where(F.col("_dup") == 1).drop("_dup"))
+        c = c.join(self.seen.select("canon_url"), "canon_url", "left_anti")
+        c = (
+            c.withColumn("url_fp", F.xxhash64(F.col("canon_url")))
+            .withColumn("class_key", class_key_expr(F.col("url")))
+            .withColumn("host", host_expr(F.col("url")))
+            .withColumn("image_id", F.when(
+                image_id_expr(F.col("url")).isNotNull(),
+                F.format_string("img%08d", image_id_expr(F.col("url")))))
+            .withColumn("cost",
+                        POLICIES_EXPR[cfg.cost_policy](F.col("url"))
+                        .cast("int"))
+            .withColumn("kind", F.lit(C.KIND_REAL))
+            .withColumn("retries", F.lit(0).cast("int"))
+        )
+        w_q = Window.partitionBy("class_key").orderBy(*_ORD)
+        c = c.withColumn("_r", F.row_number().over(w_q))
+        c = c.join(
+            F.broadcast(self._queues_df(["class_key", "next_ordinal"])),
+            "class_key", "left")
+        return c.withColumn(
+            "ordinal",
+            (F.coalesce(F.col("next_ordinal"), F.lit(2))
+             + F.col("_r") - 1).cast("long"))
+
+    @staticmethod
+    def _cand_aggs() -> list:
+        """Per-queue candidate aggregates (driver queue merge inputs)."""
+        return [
+            F.count("*").alias("cnt"),
+            F.max("next_ordinal").alias("existing"),
+            F.max("host").alias("chost"),
+            F.min(F.when(F.col("_r") == 1, F.col("earliest_ts")))
+            .alias("cwake"),
+        ]
+
+    def _merge_candidate_queues(self, stats) -> DataFrame:
+        """Driver-side queue effects of a candidate batch: next_ordinal
+        bumps + queue creation; returns the dns/robots prerequisite rows
+        for newly created queues (PreconditionEnforcer semantics)."""
+        cfg = self.cfg
+        new_hosts = []
+        rows = [r for r in stats if "cnt" in r.__fields__ and r["cnt"]]
+        if rows:
+            q = self.queues.set_index("class_key")
+            for r in rows:
+                if r["existing"] is None:
+                    q.loc[r["class_key"]] = {
+                        "wake_ts": int(r["cwake"]),
+                        "balance": cfg.balance_replenish,
+                        "expenditure": 0, "retired": False,
+                        "next_ordinal": int(r["cnt"]) + 2}
+                    new_hosts.append((r["class_key"], r["chost"],
+                                      int(r["cwake"])))
+                else:
+                    q.loc[r["class_key"], "next_ordinal"] += int(r["cnt"])
+            self.queues = _normalize_queues(q.reset_index())
+        if not new_hosts:
+            return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        nq = self.spark.createDataFrame(
+            new_hosts, "class_key string, host string, _wake long")
+        pre = nq.select(
+            "class_key", "host", "_wake",
+            F.posexplode(F.array(
+                F.concat(F.lit("dns:"), F.col("host")),
+                F.concat(F.lit("http://"), F.col("host"),
+                         F.lit("/robots.txt")),
+            )).alias("_i", "url"),
+        )
+        pre = (
+            pre.withColumn("canon_url", canonicalize_expr(F.col("url")))
+            .join(self.seen.select("canon_url"), "canon_url", "left_anti")
+            .withColumn("url_fp", F.xxhash64(F.col("canon_url")))
+            .withColumn("image_id", F.lit(None).cast("string"))
+            .withColumn("kind", F.when(F.col("_i") == 0, C.KIND_DNS)
+                        .otherwise(C.KIND_ROBOTS))
+            .withColumn("directive", F.lit(C.HIGH).cast("int"))
+            .withColumn("cost", F.lit(1).cast("int"))
+            .withColumn("ordinal", F.col("_i").cast("long"))
+            .withColumn("hops_path", F.lit("P"))
+            .withColumn("via", F.lit(""))
+            .withColumn("is_seed", F.lit(False))
+            .withColumn("retries", F.lit(0).cast("int"))
+            .withColumn("earliest_ts", F.col("_wake"))
+            .select(*FRONTIER_COLS)
+        )
+        # Materialize: pre's anti-join references the current seen plan —
+        # left lazy it would re-embed that plan inside the next seen union
+        # (exponential growth).  Tiny (2 rows/new queue); steps without new
+        # queues return the empty literal above and skip this.
+        return self._ck(pre)
+
+    # -------------------------------------------------------------- superstep
+
+    def _advance_clock(self) -> None:
+        """now = max(now, min over live queues of max(wake, min earliest))."""
+        live = self.queues[~self.queues["retired"]]
+        if len(live) == 0:
+            self.done = True
+            return
+        me = (self.frontier.groupBy("class_key")
+              .agg(F.min("earliest_ts").alias("me")).collect())
+        me_map = {r["class_key"]: r["me"] for r in me}
+        ready = [max(int(w), me_map[ck])
+                 for ck, w in zip(live["class_key"], live["wake_ts"])
+                 if ck in me_map]
+        if not ready:
+            self.done = True
+            return
+        self.now = max(self.now, min(ready))
+
+    def superstep(self) -> int:
+        """Run one superstep; returns number of processed rows.
+
+        One heavy materialization per step: the burst selection and the
+        candidate pipeline are computed in a single union-tagged
+        localCheckpoint (the candidate branch persists the shared burst
+        subplan to avoid double compute), followed by one O(#queues) stats
+        collect, one frontier merge materialization, and one clock agg.
+        """
+        cfg, now = self.cfg, self.now
+        horizon = now + cfg.window_ms
+
+        # --- burst selection (WorkQueueFrontier.next, set-at-a-time) -------
+        live = self.queues[~self.queues["retired"]]
+        qdf = self.spark.createDataFrame(
+            live[["class_key", "wake_ts", "balance"]]) if len(live) else             self.spark.createDataFrame(
+                [], "class_key string, wake_ts long, balance long")
+        elig = self.frontier.join(F.broadcast(qdf), "class_key")
+        elig = elig.where((F.col("earliest_ts") <= F.lit(now))
+                          & (F.col("wake_ts") < F.lit(horizon)))
+        w = Window.partitionBy("class_key").orderBy(
+            "directive", "cost", "ordinal")
+        a = (elig.withColumn("_rn", F.row_number().over(w) - 1)
+             .where(F.col("_rn") < cfg.burst_max))
+
+        b = R.join_rules(a, self.rules)
+        b = b.withColumn(
+            "_precluded",
+            (F.col("kind") == C.KIND_REAL)
+            & R.disallowed_expr(path_expr(F.col("url")),
+                                F.col("robots_rules"))).drop("robots_rules")
+        b = b.join(self.image_ids, "image_id", "left")
+        b = b.withColumn(
+            "status",
+            F.when(F.col("kind") != C.KIND_REAL, F.lit(C.S_OK))
+            .when(F.col("_precluded"), F.lit(C.S_ROBOTS_PRECLUDED))
+            .when((F.col("retries") == 0)
+                  & (F.pmod(F.col("url_fp"), F.lit(C.RETRY_MOD)) == 0),
+                  F.lit(C.S_RETRY))
+            .when(F.col("_exists").isNull(), F.lit(C.S_NOT_FOUND))
+            .otherwise(F.lit(C.S_OK))).drop("_exists")
+        fetch_ms = F.when(F.col("kind") == C.KIND_DNS,
+                          F.lit(C.DNS_FETCH_MS)).otherwise(
+            F.lit(C.LATTICE_MS) * (F.lit(1) + F.pmod(F.col("url_fp"),
+                                                     F.lit(4))))
+        delay = F.least(
+            F.greatest(F.lit(cfg.delay_factor) * fetch_ms,
+                       F.lit(float(cfg.min_delay_ms))),
+            F.lit(float(cfg.max_delay_ms))).cast("long")
+        if cfg.honor_crawl_delay and len(self.delays_pdf):
+            ddf = F.broadcast(self.spark.createDataFrame(
+                self.delays_pdf.rename(
+                    columns={"host": "class_key"})))
+            b = b.join(ddf, "class_key", "left")
+            delay = F.greatest(delay, F.coalesce(F.col("crawl_delay_ms"),
+                                                 F.lit(0)))
+            b = b.drop("crawl_delay_ms")
+        b = (b.withColumn("_fetch_ms", fetch_ms.cast("long"))
+             .withColumn("_time_cost", F.when(F.col("_precluded"), F.lit(0))
+                         .otherwise(F.col("_fetch_ms") + delay)
+                         .cast("long"))
+             .withColumn("_charge", F.when(F.col("_precluded"), F.lit(0))
+                         .otherwise(F.col("cost") + F.when(
+                             F.col("status").isin(C.S_NOT_FOUND, C.S_RETRY),
+                             F.lit(cfg.error_penalty)).otherwise(F.lit(0)))
+                         .cast("long")))
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        s0 = F.greatest(F.col("wake_ts"), F.lit(now))
+        b = (b.withColumn("_cum_t",
+                          F.coalesce(F.sum("_time_cost").over(wp), F.lit(0)))
+             .withColumn("_cum_c",
+                         F.coalesce(F.sum("_charge").over(wp), F.lit(0)))
+             .withColumn("fetch_start", (s0 + F.col("_cum_t")).cast("long")))
+        sel = b.where((F.col("fetch_start") < F.lit(horizon))
+                      & (F.col("_cum_c") < F.col("balance")))
+        sel = (
+            sel.withColumn(
+                "fetch_end",
+                (F.col("fetch_start") + F.when(F.col("_precluded"), F.lit(0))
+                 .otherwise(F.col("_fetch_ms"))).cast("long"))
+            .withColumn(
+                "event",
+                F.when(F.col("_precluded"), F.lit(C.EV_DISREGARD))
+                .when(F.col("status") == C.S_OK, F.lit(C.EV_SUCCESS))
+                .when((F.col("status") == C.S_RETRY)
+                      & (F.col("retries") < cfg.max_retries),
+                      F.lit(C.EV_RETRY))
+                .otherwise(F.lit(C.EV_FAILURE))))
+        sel = self._ck(sel)
+
+        # --- extract + candidate pipeline (off the materialized burst) -----
+        ok_plan = sel.where((F.col("status") == C.S_OK)
+                            & (F.col("kind") == C.KIND_REAL))
+        parents = ok_plan.select(
+            "url", "hops_path",
+            F.col("class_key").alias("_ord_ck"),
+            F.col("_rn").alias("_ord_rn"),
+            F.col("fetch_end").alias("_pts"))
+        links = outlinks_of(parents, self.spec)
+        cand = links.select(
+            "url", "hops_path", "via",
+            F.lit(False).alias("is_seed"),
+            F.lit(C.NORMAL).cast("int").alias("directive"),
+            F.col("_pts").alias("earliest_ts"),
+            "_ord_ck", "_ord_rn", F.col("link_idx").alias("_ord_j"))
+        c = self._ck(self._candidate_plan(cand))
+
+        # --- O(#queues) stats passes: burst effects + candidate counts -----
+        stats = (
+            sel.groupBy("class_key").agg(
+                F.count("*").alias("n"),
+                F.max("wake_ts").alias("wake0"),
+                F.sum("_time_cost").alias("tsum"),
+                F.sum("_charge").alias("charged")).collect()
+            + c.groupBy("class_key").agg(
+                F.lit(0).cast("long").alias("n"),
+                F.lit(0).cast("long").alias("wake0"),
+                F.lit(0).cast("long").alias("tsum"),
+                F.lit(0).cast("long").alias("charged"),
+                *self._cand_aggs()).collect())
+
+        # Burst merge first (WorkQueue.expend + snooze), then candidates.
+        n_processed = 0
+        burst_rows = [r for r in stats if r["n"]]
+        if burst_rows:
+            q = self.queues.set_index("class_key")
+            for r in burst_rows:
+                ck = r["class_key"]
+                n_processed += r["n"]
+                q.loc[ck, "wake_ts"] = max(int(r["wake0"]), now) + int(r["tsum"])
+                nb = int(q.loc[ck, "balance"]) - int(r["charged"])
+                q.loc[ck, "balance"] = (cfg.balance_replenish if nb <= 0
+                                        else nb)
+                nexp = int(q.loc[ck, "expenditure"]) + int(r["charged"])
+                q.loc[ck, "expenditure"] = nexp
+                if 0 <= cfg.total_budget <= nexp:
+                    q.loc[ck, "retired"] = True
+            self.queues = _normalize_queues(q.reset_index())
+        pre = self._merge_candidate_queues(stats)
+
+        # --- lineage / metrics / fetched (journal + stats + writer) --------
+        events = sel.select(
+            F.lit(self.step).alias("crawl_step"), "class_key", "url",
+            "canon_url", "kind", "directive", "cost", "ordinal",
+            (F.col("retries") + F.when(F.col("event") == C.EV_RETRY,
+                                       F.lit(1)).otherwise(F.lit(0)))
+            .cast("int").alias("retries"),
+            "status", "fetch_start", "fetch_end", "event")
+        self._pending["lineage"].append(events)
+        self._pending["metrics"].append(
+            sel.groupBy("class_key").agg(
+                F.lit(self.step).alias("crawl_step"),
+                F.count("*").alias("processed"),
+                F.sum((F.col("event") == C.EV_SUCCESS).cast("int"))
+                .alias("succeeded"),
+                F.sum((F.col("event") == C.EV_FAILURE).cast("int"))
+                .alias("failed"),
+                F.sum((F.col("event") == C.EV_RETRY).cast("int"))
+                .alias("retried"),
+                F.sum((F.col("event") == C.EV_DISREGARD).cast("int"))
+                .alias("disregarded"),
+                F.sum("_charge").alias("charged"),
+                F.sum("_time_cost").alias("vtime_ms")))
+        ok = sel.where((F.col("status") == C.S_OK)
+                       & (F.col("kind") == C.KIND_REAL))
+        # Payload join deferred to checkpoint time: parts are unioned and
+        # joined against `images` once per checkpoint, not once per step.
+        self._pending["fetched"].append(ok.select(
+            F.lit(self.step).alias("crawl_step"), "url", "canon_url",
+            "url_fp", "class_key", "image_id", "hops_path", "via",
+            "fetch_start", "fetch_end",
+            F.col("status").alias("fetch_status")))
+
+        # --- frontier merge (finished(): remove / retry-requeue) -----------
+        removed = self.frontier.join(
+            F.broadcast(sel.select("url_fp")), "url_fp", "left_anti")
+        retry = (sel.where(F.col("event") == C.EV_RETRY)
+                 .withColumn("retries", (F.col("retries") + 1).cast("int"))
+                 .withColumn("earliest_ts",
+                             (F.col("fetch_end")
+                              + F.lit(cfg.retry_delay_ms)).cast("long"))
+                 .select(*FRONTIER_COLS))
+        new_rows = c.select(*FRONTIER_COLS).unionByName(pre)
+        self.frontier = self._ck(
+            removed.unionByName(retry).unionByName(new_rows))
+        seen_delta = new_rows.select("url_fp", "canon_url").coalesce(1)
+        self.seen = self.seen.unionByName(seen_delta)
+        self._pending["seen"].append(seen_delta)
+
+        self.step += 1
+        if self.step % self.checkpoint_interval == 0:
+            self.checkpoint()
+        self._advance_clock()
+        return n_processed
+
+    # ------------------------------------------------------------ lifecycle
+
+    def run(self, max_steps: int | None = None) -> int:
+        limit = max_steps if max_steps is not None else self.cfg.max_steps
+        processed = 0
+        while self.step < limit and not self.done:
+            processed += self.superstep()
+        self.checkpoint()
+        return processed
+
+    def checkpoint(self) -> None:
+        """Durable multi-table commit (Checkpointer analog, exact resume)."""
+        step = self.step
+        if (self.catalog.latest() or {}).get("step") == step:
+            return
+        for table, parts in self._pending.items():
+            parts = [p for p in parts if p is not None]
+            if parts:
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
+                if table == "fetched":
+                    df = df.join(self.images, "image_id", "left")
+                self.catalog.write(table, df, step)
+            self._pending[table] = []
+        self.catalog.write("frontier", self.frontier, step)
+        qdf = (self.spark.createDataFrame(self.queues[QUEUE_COLS])
+               if len(self.queues) else self.spark.createDataFrame(
+                   [], "class_key string, wake_ts long, balance long,"
+                       " expenditure long, retired boolean,"
+                       " next_ordinal long"))
+        self.catalog.write("queue_state", qdf, step)
+        self.catalog.commit(step, {"now": self.now, "done": self.done},
+                            {"frontier": step, "queue_state": step})
+        # Compact the in-memory seen lineage (union-of-deltas chain).
+        self.seen = self._ck(self.seen)
+
+    @classmethod
+    def resume(cls, spark: SparkSession, spec: FixtureSpec,
+               cfg: C.CrawlConfig, images: DataFrame,
+               robots_rules: DataFrame, host_config: DataFrame | None,
+               work_dir: str, at_step: int | None = None,
+               checkpoint_interval: int = 10) -> "CrawlJob":
+        """Reconstruct a job from its latest (or a given) checkpoint."""
+        job = cls(spark, spec, cfg, images, robots_rules, host_config,
+                  work_dir, checkpoint_interval)
+        cp = job.catalog.latest(at_step)
+        if cp is None:
+            raise FileNotFoundError(f"no checkpoint in {work_dir}")
+        step = cp["step"]
+        job.catalog.rollback_logs(step)
+        job.catalog.truncate_manifest(step)
+        job.step = step
+        job.now = cp["state"]["now"]
+        job.done = cp["state"].get("done", False)
+        job.frontier = job._ck(
+            job.catalog.read_snapshot("frontier", step).select(*FRONTIER_COLS))
+        qpdf = job.catalog.read_snapshot("queue_state", step).toPandas()
+        job.queues = (_normalize_queues(qpdf[QUEUE_COLS]) if len(qpdf)
+                      else _empty_queue_pdf())
+        if job.catalog.has_log("seen"):
+            job.seen = job._ck(job.catalog.read_log("seen", step)
+                               .select("url_fp", "canon_url"))
+        if not job.done:
+            job._advance_clock()
+        return job
+
+    # -------------------------------------------------------------- accessors
+
+    def events_df(self) -> DataFrame:
+        """All lineage events up to the last checkpoint (journal analog)."""
+        return self.catalog.read_log("lineage")
+
+    def fetched_df(self) -> DataFrame:
+        return self.catalog.read_log("fetched")
+
+    def metrics_df(self) -> DataFrame:
+        return self.catalog.read_log("metrics")
