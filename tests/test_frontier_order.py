@@ -50,19 +50,28 @@ def _run_pair(spark, tmp_path, spec_name: str, cfg: C.CrawlConfig,
     return sim, job
 
 
-@pytest.mark.parametrize("policy", ["unit", "wag"])
-def test_tiny_full_crawl_equivalence(spark, tmp_path, policy):
-    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
-                        cost_policy=policy)
-    sim, job = _run_pair(spark, tmp_path, "tiny", cfg, None)
-
+def _assert_equal(sim, job):
     oracle, engine = _oracle_events(sim), _engine_events(job)
     assert len(engine) == len(oracle)
     for o, e in zip(oracle, engine):
         assert o == e, f"\noracle: {o}\nengine: {e}"
-
     engine_seen = {r["canon_url"] for r in job.seen.collect()}
     assert engine_seen == sim.seen
-
-    # Per-queue dequeue order is FIFO in ordinal within directive bands.
     assert sim.fetch_log, "crawl fetched nothing"
+
+
+def test_tiny_full_crawl_equivalence(spark, tmp_path):
+    """Full crawl to frontier exhaustion, wag cost policy."""
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        cost_policy="wag")
+    sim, job = _run_pair(spark, tmp_path, "tiny", cfg, None)
+    _assert_equal(sim, job)
+    assert job.done
+
+
+@pytest.mark.slow
+def test_small_prefix_equivalence(spark, tmp_path):
+    """12-superstep prefix on the 50-host fixture (hot-host skew live)."""
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes())
+    sim, job = _run_pair(spark, tmp_path, "small", cfg, 12)
+    _assert_equal(sim, job)
