@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: times every ``__spark_entry__.queries()`` query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus a crawl-engine throughput probe, and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "crawl_urls_per_sec": ...}
+
+``--crawl-only`` emits only the crawl probe (used by bench_scaling.py to
+measure the same job at two parallelism levels — the sandbox proxy for the
+north rule's N-vs-4N-executor scaling gate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CRAWL_SPEC = os.environ.get("SPARK_GRAFT_CRAWL_SPEC", "bench")
+CRAWL_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_STEPS", "14"))
+WARMUP_STEPS = 4
+
+
+def _spark(cores: int):
+    from heritrix_spark.session import get_spark
+
+    return get_spark("heritrix-bench", cores=cores,
+                     shuffle_partitions=max(cores, 8))
+
+
+def _fixture_paths(spark, spec):
+    """Bench fixture parquet, cached under /tmp across runs."""
+    from heritrix_spark.fixtures import gen
+
+    root = f"/tmp/heritrix_bench_fix_{spec.name}_{spec.n_images}"
+    images = os.path.join(root, "images.parquet")
+    if not os.path.exists(os.path.join(root, "_done")):
+        os.makedirs(root, exist_ok=True)
+        gen.spark_images_df(spark, spec).write.mode("overwrite").parquet(
+            images)
+        gen.robots_df(spec).to_parquet(os.path.join(root, "robots.parquet"),
+                                       index=False)
+        gen.host_config_df(spec).to_parquet(
+            os.path.join(root, "host_config.parquet"), index=False)
+        open(os.path.join(root, "_done"), "w").write("ok")
+    return {"images": images,
+            "robots": os.path.join(root, "robots.parquet"),
+            "host_config": os.path.join(root, "host_config.parquet")}
+
+
+def bench_crawl(spark, work_root: str) -> dict:
+    """Steady-state crawl throughput: URLs processed/sec over the
+    post-warmup supersteps of the Zipf-skewed bench web."""
+    import shutil
+
+    from heritrix_spark import config as C
+    from heritrix_spark.fixtures import websim
+    from heritrix_spark.plans.crawl_job import CrawlJob
+
+    spec = websim.SPECS[CRAWL_SPEC]
+    paths = _fixture_paths(spark, spec)
+    work = os.path.join(work_root, "crawl_work")
+    shutil.rmtree(work, ignore_errors=True)
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        max_steps=CRAWL_STEPS)
+    job = CrawlJob(
+        spark, spec, cfg,
+        images=spark.read.parquet(paths["images"]),
+        robots_rules=spark.read.parquet(paths["robots"]),
+        host_config=spark.read.parquet(paths["host_config"]),
+        work_dir=work, checkpoint_interval=100)
+    job.schedule_seeds(websim.seeds(spec))
+    warm = 0
+    for _ in range(WARMUP_STEPS):
+        if job.done:
+            break
+        warm += job.superstep()
+    t0 = time.time()
+    processed = 0
+    steps = 0
+    while steps < CRAWL_STEPS - WARMUP_STEPS and not job.done:
+        processed += job.superstep()
+        steps += 1
+    elapsed = time.time() - t0
+    return {
+        "crawl_spec": spec.name,
+        "crawl_steps_measured": steps,
+        "crawl_urls_processed": processed,
+        "crawl_sec": round(elapsed, 2),
+        "crawl_urls_per_sec": round(processed / elapsed, 1) if elapsed else 0,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-only", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _spark(cores)
+
+    out: dict = {
+        "metric": "heritrix_spark bench: entry queries + crawl superstep "
+                  "throughput",
+        "unit": "sec",
+        "sf": sf_dir,
+        "cores": cores,
+    }
+    qtimes: dict[str, float] = {}
+    total = 0.0
+
+    if not args.crawl_only:
+        import __spark_entry__ as entry_mod
+
+        for name, fn in entry_mod.queries().items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            qtimes[name] = round(dt, 3)
+            total += dt
+            _ = n
+
+    crawl = bench_crawl(spark, "/tmp/heritrix_bench_run")
+    out.update(crawl)
+    total += crawl["crawl_sec"]
+    qtimes["crawl_superstep_loop"] = crawl["crawl_sec"]
+    out["queries"] = qtimes
+    out["value"] = round(total, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

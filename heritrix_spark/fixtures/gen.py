@@ -104,6 +104,40 @@ def host_config_df(spec: FixtureSpec) -> pd.DataFrame:
     ).astype({"crawl_delay_ms": np.int64})
 
 
+def spark_images_df(spark, spec: FixtureSpec):
+    """Metadata-only ``images`` generated JVM-side (bench corpus: 10^6+
+    rows in seconds).  Mirrors :func:`image_row` with ``with_payload=False``
+    exactly (same xxhash64 derivations) — parity-tested in
+    tests/test_fixtures.py."""
+    from pyspark.sql import functions as F
+
+    def x(tag):
+        return F.xxhash64(F.concat_ws(":", F.lit(tag),
+                                      F.col("k").cast("string")))
+
+    adj = F.array(*[F.lit(a) for a in _ADJ])
+    noun = F.array(*[F.lit(n) for n in _NOUN])
+    return (
+        spark.range(spec.n_images).select(F.col("id").alias("k"))
+        .select(
+            F.format_string("img%08d", F.col("k")).alias("image_id"),
+            F.lit(None).cast("binary").alias("bytes"),
+            (F.lit(16) + F.pmod(x("w"), F.lit(49))).cast("int").alias("w"),
+            (F.lit(16) + F.pmod(x("h"), F.lit(49))).cast("int").alias("h"),
+            F.when(F.pmod(F.col("k"), F.lit(2)) == 0, "png")
+            .otherwise("jpeg").alias("fmt"),
+            F.format_string(
+                "caption for img%08d: %s %s #%d", F.col("k"),
+                F.element_at(adj, (F.pmod(x("adj"), F.lit(64)) + 1)
+                             .cast("int")),
+                F.element_at(noun, (F.pmod(x("noun"), F.lit(64)) + 1)
+                             .cast("int")),
+                F.pmod(F.col("k"), F.lit(977))).alias("caption"),
+            x("phash").alias("phash"),
+        )
+    )
+
+
 def write_fixture(spec: FixtureSpec, out_dir: str) -> dict[str, str]:
     """Write images/robots/host_config parquet; returns table→path map."""
     os.makedirs(out_dir, exist_ok=True)

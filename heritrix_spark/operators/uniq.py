@@ -66,19 +66,50 @@ class SeenFilter:
     def count(self) -> int:
         return self.seen.count()
 
-    def _split_by_bloom(self, batch: DataFrame):
-        """(maybe_seen, definitely_new) according to the bloom prefilter."""
-        bloom = self.seen.stat.bloomFilter(
-            "url_fp", max(self.bloom_expected, 1024), self.bloom_fpp)
-        b = self.spark.sparkContext.broadcast(bloom)
+    _BLOOM_K = 4
 
-        from pyspark.sql import types as T
+    def _bloom_positions(self, fp, m: int):
+        """k bit positions per fingerprint — same xxhash64 derivation in
+        the JVM build path and the Python probe path."""
+        return [F.pmod(F.xxhash64(F.concat_ws(
+            ":", F.lit(str(i)), fp.cast("string"))), F.lit(m))
+            for i in range(self._BLOOM_K)]
+
+    def _split_by_bloom(self, batch: DataFrame):
+        """(maybe_seen, definitely_new) according to the bloom prefilter.
+
+        The bit array is built with one JVM-side distinct-positions pass
+        over the seen fingerprints (PySpark 4 no longer exposes
+        df.stat.bloomFilter) and broadcast as a numpy bool array; the
+        probe is an Arrow-batched pandas UDF using the bit-exact Python
+        xxhash64 mirror.
+        """
+        import math
+
+        import numpy as np
         import pandas as pd
+        from pyspark.sql import types as T
+
+        from heritrix_spark.functions.fingerprint import hash_str_py
+
+        n = max(self.bloom_expected, 1024)
+        m = max(1 << math.ceil(math.log2(
+            -n * math.log(self.bloom_fpp) / (math.log(2) ** 2))), 1024)
+        pos_rows = (self.seen.select(F.explode(F.array(
+            *self._bloom_positions(F.col("url_fp"), m))).alias("p"))
+            .distinct().collect())
+        bits = np.zeros(m, dtype=bool)
+        bits[[r["p"] for r in pos_rows]] = True
+        b = self.spark.sparkContext.broadcast(bits)
+        k = self._BLOOM_K
 
         @F.pandas_udf(T.BooleanType())
         def might_contain(fps: pd.Series) -> pd.Series:
             blm = b.value
-            return fps.map(lambda v: blm.mightContain(int(v)))
+            mm = len(blm)
+            return fps.map(lambda v: all(
+                blm[hash_str_py(str(i), str(int(v))) % mm]
+                for i in range(k)))
 
         flagged = batch.withColumn("_maybe", might_contain(F.col("url_fp")))
         return (flagged.where(F.col("_maybe")).drop("_maybe"),

@@ -1,0 +1,158 @@
+"""Deduplication operators for document corpora.
+
+All operators take a DataFrame with ``(id_col, text_col)`` and stay
+JVM-side (built-in functions + higher-order array ops) — the shapes that
+survive 100 TB: hash-groupBy for exact, shingle→minhash→band→bucket-join
+for near-dup (shuffle keyed on short band strings, never on documents),
+SimHash via per-bit vote aggregation.
+
+Crawl tie-in: exact dedup over ``fetched.content_digest`` is the payload
+analog of the URL-seen filter (Heritrix ``HTTPContentDigest`` +
+``ChangeEvaluator`` — org/archive/crawler/extractor/HTTPContentDigest.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_groups(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content digest; keeper = min id."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min(id_col).alias("keeper"),
+                 F.collect_list(id_col).alias("members")))
+
+
+def drop_exact_dups(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Keep the first (min-id) representative of each digest group."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def _words(text_col: str):
+    return F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != F.lit(""))
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Word n-gram shingles per document (exploded)."""
+    ws = _words(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(ws, i + 1, n)))
+    return df.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 16, n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """MinHash over word n-gram shingles: ``num_hashes`` xxhash64
+    permutations (seeded by salt prefix), one aggregation pass."""
+    sh = shingles(df, n, id_col, text_col)
+    aggs = [F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
+            .alias(f"mh{i}") for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                        n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """MinHash-LSH banding: docs sharing any band bucket become candidate
+    pairs.  The self-join is keyed on short band hashes — the only shuffle
+    over pairs is within buckets, which is what keeps this sub-quadratic
+    at corpus scale."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ":", *[F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)])).alias("bucket"))
+        for b in range(bands)]
+    exploded = sigs.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (a.join(b, ["band", "bucket"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, n: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact Jaccard verification of candidate pairs (LSH refine step)."""
+    sh = shingles(df, n, id_col, text_col)
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sset"))
+    a = sets.select(F.col(id_col).alias("id_a"),
+                    F.col("sset").alias("set_a"))
+    b = sets.select(F.col(id_col).alias("id_b"),
+                    F.col("sset").alias("set_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return j.select("id_a", "id_b",
+                    (inter / union).alias("jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash: per-bit majority vote over word hashes, built-in only.
+
+    Explodes words, computes xxhash64 per word, then for each bit position
+    sums +1/-1 votes; the sign vector packs into a LongType fingerprint.
+    """
+    words = df.select(id_col,
+                      F.explode(_words(text_col)).alias("w"))
+    h = F.xxhash64(F.col("w"))
+    votes = [F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                          F.lit(1)).otherwise(F.lit(-1))).alias(f"v{i}")
+             for i in range(bits)]
+    agg = words.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") << i)
+            .otherwise(F.lit(0).cast("long")))
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (any chunk
+    equal → candidate; with ≤3 differing bits at least one chunk matches
+    by pigeonhole), verify Hamming distance with bit_count."""
+    sh = simhash(df, id_col, text_col)
+    chunk_cols = [F.struct(
+        F.lit(i).alias("chunk"),
+        F.shiftrightunsigned("simhash", i * 16)
+        .bitwiseAND(F.lit(0xFFFF)).alias("key")) for i in range(4)]
+    e = sh.select(id_col, "simhash",
+                  F.explode(F.array(*chunk_cols)).alias("c")
+                  ).select(id_col, "simhash",
+                           F.col("c.chunk").alias("chunk"),
+                           F.col("c.key").alias("key"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (a.join(b, ["chunk", "key"])
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,149 @@
+"""Multimodal payload operators: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side plumbing here is real and tested — schemas, Arrow batch
+shapes, ``mapInPandas`` partitioned decode, feature extraction — while the
+codec itself is the deterministic engine codec from
+:mod:`heritrix_spark.functions.imagecodec` (this container ships no image
+library; a PIL/ffmpeg-backed decode drops into ``_decode_one`` behind
+``HAVE_PIL`` with zero changes to the Spark plan).  Audio/video decode is
+stubbed with :class:`NotImplementedError` but keeps the real UDF
+signatures/batch shapes so the pipeline is wireable today.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from heritrix_spark.functions import imagecodec
+
+IMAGE_FEATURE_SCHEMA = (
+    "image_id string, w int, h int, fmt string, mean_r double, "
+    "mean_g double, mean_b double, phash long, decode_ok boolean")
+
+THUMB_SCHEMA = "image_id string, tw int, th int, thumb binary"
+
+
+def _decode_one(data: bytes) -> np.ndarray:
+    if imagecodec.HAVE_PIL:  # real-codec path (absent in this container)
+        raise NotImplementedError("PIL decode path: wire Image.open here")
+    return imagecodec.decode(data)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Per-image decoded features via Arrow-batched mapInPandas: channel
+    means + average-hash.  Bytes never leave the executor; the driver sees
+    only scalar features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    px = _decode_one(bytes(r["bytes"]))
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    out.append((r["image_id"], px.shape[1], px.shape[0],
+                                r["fmt"], float(m[0]), float(m[1]),
+                                float(m[2]), imagecodec.phash(px), True))
+                except Exception:
+                    out.append((r["image_id"], None, None, r["fmt"],
+                                None, None, None, None, False))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
+                "phash", "decode_ok"])
+
+    return images.select("image_id", "bytes", "fmt").where(
+        F.col("bytes").isNotNull()).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def thumbnails(images: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
+    """Resize via block mean (pure numpy) → re-encoded engine-codec bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                px = _decode_one(bytes(r["bytes"]))
+                h, w, _ = px.shape
+                ys = (np.arange(th + 1) * h) // th
+                xs = (np.arange(tw + 1) * w) // tw
+                tiny = np.zeros((th, tw, 3), dtype=np.uint8)
+                for i in range(th):
+                    for j in range(tw):
+                        tiny[i, j] = px[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                        xs[j]:max(xs[j + 1], xs[j] + 1)
+                                        ].reshape(-1, 3).mean(axis=0)
+                out.append((r["image_id"], tw, th,
+                            imagecodec.encode(tiny, "png")))
+            yield pd.DataFrame(out, columns=["image_id", "tw", "th",
+                                             "thumb"])
+
+    return images.select("image_id", "bytes").where(
+        F.col("bytes").isNotNull()).mapInPandas(run, THUMB_SCHEMA)
+
+
+def phash_near_dup_pairs(features: DataFrame,
+                         max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate images by perceptual-hash Hamming distance, blocked
+    on 16-bit phash chunks (pigeonhole: ≤6 differing bits over 4 chunks →
+    at least one chunk equal) — the image-side MinHash-LSH analog."""
+    chunk_cols = [F.struct(
+        F.lit(i).alias("chunk"),
+        F.shiftrightunsigned("phash", i * 16)
+        .bitwiseAND(F.lit(0xFFFF)).alias("key")) for i in range(4)]
+    e = features.select("image_id", "phash",
+                        F.explode(F.array(*chunk_cols)).alias("c")
+                        ).select("image_id", "phash",
+                                 F.col("c.chunk").alias("chunk"),
+                                 F.col("c.key").alias("key"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (a.join(b, ["chunk", "key"])
+             .where(F.col("a.image_id") < F.col("b.image_id"))
+             .select(F.col("a.image_id").alias("id_a"),
+                     F.col("b.image_id").alias("id_b"),
+                     F.col("a.phash").alias("ph_a"),
+                     F.col("b.phash").alias("ph_b"))
+             .distinct())
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (pairs.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+AUDIO_FEATURE_SCHEMA = ("clip_id string, sample_rate int, n_samples long, "
+                        "rms double, decode_ok boolean")
+FRAME_SAMPLE_SCHEMA = ("video_id string, frame_idx int, ts_ms long, "
+                       "frame binary")
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """Audio feature extraction — STUB: no audio codec in this container.
+    The Spark plumbing (binary column in, Arrow batches, typed schema out)
+    is identical to image_features; wire soundfile/ffmpeg in ``run``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "audio decode requires an audio codec library (none in this "
+            "container); plug decode into this mapInPandas body")
+        yield  # pragma: no cover
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA)
+
+
+def video_frame_sample(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling — STUB (same contract as audio_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "video decode requires ffmpeg bindings (none in this "
+            "container); plug frame extraction into this mapInPandas body")
+        yield  # pragma: no cover
+
+    return videos.select("video_id", "bytes").mapInPandas(
+        run, FRAME_SAMPLE_SCHEMA)

@@ -61,6 +61,7 @@ from heritrix_spark import config as C
 from heritrix_spark.fixtures.websim import FixtureSpec
 from heritrix_spark.functions.canonicalize import (
     canonicalize_expr,
+    canonicalize_py,
     class_key_expr,
     host_expr,
     path_expr,
@@ -137,6 +138,14 @@ class CrawlJob:
         self.seen = spark.createDataFrame([], "url_fp long, canon_url string")
         self._pending: dict[str, list[DataFrame]] = {
             "lineage": [], "fetched": [], "seen": [], "metrics": []}
+        # Canonical URLs of every dns/robots prerequisite ever claimed.
+        # Prerequisite URLs can only collide with other prerequisite URLs
+        # (candidate/seed URLs never take the /robots.txt or dns: shapes),
+        # so this driver-side set decides prereq seen-ness without a join —
+        # e.g. a www-variant queue whose canonicalized robots.txt equals
+        # the base host's (StripWWWRule) skips its robots prerequisite and
+        # starts real ordinals one earlier, exactly like the oracle.
+        self._prereq_canons: set[str] = set()
 
     # ------------------------------------------------------------------ util
 
@@ -171,8 +180,9 @@ class CrawlJob:
                   " _ord_rn int, _ord_j int")
         c = self._ck(self._candidate_plan(cand))
         stats = c.groupBy("class_key").agg(*self._cand_aggs()).collect()
-        pre = self._merge_candidate_queues(stats)
-        new_rows = c.select(*FRONTIER_COLS).unionByName(pre)
+        pre, offsets = self._merge_candidate_queues(stats)
+        new_rows = (self._apply_offsets(c, offsets).select(*FRONTIER_COLS)
+                    .unionByName(pre))
         self.frontier = self._ck(self.frontier.unionByName(new_rows))
         seen_delta = self._ck(new_rows.select("url_fp", "canon_url"))
         self.seen = self.seen.unionByName(seen_delta)
@@ -180,6 +190,19 @@ class CrawlJob:
         self._advance_clock()
 
     # ------------------------------------------------------------- candidates
+
+    def _apply_offsets(self, c: DataFrame, offsets: dict[str, int]) -> DataFrame:
+        """Shift real ordinals down where prerequisites were skipped."""
+        nz = {k: v for k, v in offsets.items() if v}
+        if not nz:
+            return c
+        off = F.broadcast(self.spark.createDataFrame(
+            list(nz.items()), "class_key string, _off int"))
+        return (c.join(off, "class_key", "left")
+                .withColumn("ordinal",
+                            (F.col("ordinal")
+                             - F.coalesce(F.col("_off"), F.lit(0)))
+                            .cast("long")))
 
     def _candidate_plan(self, cand: DataFrame) -> DataFrame:
         """Candidate pipeline (lazy): scope fold → canonicalize →
@@ -229,41 +252,65 @@ class CrawlJob:
             F.max("host").alias("chost"),
             F.min(F.when(F.col("_r") == 1, F.col("earliest_ts")))
             .alias("cwake"),
+            F.min(F.when(F.col("_r") == 1,
+                         F.struct("_ord_ck", "_ord_rn", "_ord_j")))
+            .alias("cord"),
         ]
 
-    def _merge_candidate_queues(self, stats) -> DataFrame:
+    def _merge_candidate_queues(self, stats):
         """Driver-side queue effects of a candidate batch: next_ordinal
-        bumps + queue creation; returns the dns/robots prerequisite rows
-        for newly created queues (PreconditionEnforcer semantics)."""
+        bumps + queue creation.  Returns (prereq rows, ordinal offsets):
+        the dns/robots prerequisite items for newly created queues
+        (PreconditionEnforcer semantics) and, per new queue, how many
+        prerequisites were *skipped* because their canonical URL was
+        already claimed (real ordinals shift down by that offset — the
+        UriUniqFilter counter only advances on actual inserts)."""
         cfg = self.cfg
         new_hosts = []
+        offsets: dict[str, int] = {}
         rows = [r for r in stats if "cnt" in r.__fields__ and r["cnt"]]
         if rows:
             q = self.queues.set_index("class_key")
+            # New queues are created in candidate arrival order — the order
+            # in which a shared prerequisite canon is claimed is observable
+            # via ordinal assignment, so it must match the oracle's.
+            rows.sort(key=lambda r: (r["cord"] is None,
+                                     tuple(r["cord"]) if r["cord"] else ()))
             for r in rows:
                 if r["existing"] is None:
+                    host = r["chost"]
+                    ins = []
+                    for u in (f"dns:{host}", f"http://{host}/robots.txt"):
+                        cu = canonicalize_py(u)
+                        ins.append(cu not in self._prereq_canons)
+                        self._prereq_canons.add(cu)
+                    n_pre = sum(ins)
+                    offsets[r["class_key"]] = 2 - n_pre
                     q.loc[r["class_key"]] = {
                         "wake_ts": int(r["cwake"]),
                         "balance": cfg.balance_replenish,
                         "expenditure": 0, "retired": False,
-                        "next_ordinal": int(r["cnt"]) + 2}
-                    new_hosts.append((r["class_key"], r["chost"],
-                                      int(r["cwake"])))
+                        "next_ordinal": int(r["cnt"]) + n_pre}
+                    new_hosts.append((r["class_key"], host,
+                                      int(r["cwake"]), ins[0], ins[1]))
                 else:
                     q.loc[r["class_key"], "next_ordinal"] += int(r["cnt"])
             self.queues = _normalize_queues(q.reset_index())
+        empty = self.spark.createDataFrame([], FRONTIER_SCHEMA)
         if not new_hosts:
-            return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+            return empty, offsets
         nq = self.spark.createDataFrame(
-            new_hosts, "class_key string, host string, _wake long")
+            new_hosts, "class_key string, host string, _wake long,"
+                       " _dns boolean, _rob boolean")
         pre = nq.select(
-            "class_key", "host", "_wake",
+            "class_key", "host", "_wake", "_dns", "_rob",
             F.posexplode(F.array(
                 F.concat(F.lit("dns:"), F.col("host")),
                 F.concat(F.lit("http://"), F.col("host"),
                          F.lit("/robots.txt")),
             )).alias("_i", "url"),
-        )
+        ).where((F.col("_i") == 0) & F.col("_dns")
+                | (F.col("_i") == 1) & F.col("_rob"))
         pre = (
             pre.withColumn("canon_url", canonicalize_expr(F.col("url")))
             .join(self.seen.select("canon_url"), "canon_url", "left_anti")
@@ -273,7 +320,9 @@ class CrawlJob:
                         .otherwise(C.KIND_ROBOTS))
             .withColumn("directive", F.lit(C.HIGH).cast("int"))
             .withColumn("cost", F.lit(1).cast("int"))
-            .withColumn("ordinal", F.col("_i").cast("long"))
+            .withColumn("ordinal",
+                        F.when(F.col("_i") == 0, F.lit(0))
+                        .otherwise(F.col("_dns").cast("int")).cast("long"))
             .withColumn("hops_path", F.lit("P"))
             .withColumn("via", F.lit(""))
             .withColumn("is_seed", F.lit(False))
@@ -285,7 +334,7 @@ class CrawlJob:
         # left lazy it would re-embed that plan inside the next seen union
         # (exponential growth).  Tiny (2 rows/new queue); steps without new
         # queues return the empty literal above and skip this.
-        return self._ck(pre)
+        return self._ck(pre), offsets
 
     # -------------------------------------------------------------- superstep
 
@@ -444,7 +493,7 @@ class CrawlJob:
                 if 0 <= cfg.total_budget <= nexp:
                     q.loc[ck, "retired"] = True
             self.queues = _normalize_queues(q.reset_index())
-        pre = self._merge_candidate_queues(stats)
+        pre, offsets = self._merge_candidate_queues(stats)
 
         # --- lineage / metrics / fetched (journal + stats + writer) --------
         events = sel.select(
@@ -488,7 +537,8 @@ class CrawlJob:
                              (F.col("fetch_end")
                               + F.lit(cfg.retry_delay_ms)).cast("long"))
                  .select(*FRONTIER_COLS))
-        new_rows = c.select(*FRONTIER_COLS).unionByName(pre)
+        new_rows = (self._apply_offsets(c, offsets).select(*FRONTIER_COLS)
+                    .unionByName(pre))
         self.frontier = self._ck(
             removed.unionByName(retry).unionByName(new_rows))
         seen_delta = new_rows.select("url_fp", "canon_url").coalesce(1)
@@ -561,6 +611,11 @@ class CrawlJob:
         qpdf = job.catalog.read_snapshot("queue_state", step).toPandas()
         job.queues = (_normalize_queues(qpdf[QUEUE_COLS]) if len(qpdf)
                       else _empty_queue_pdf())
+        for ck in job.queues["class_key"]:
+            host = ck.split(":", 1)[0]
+            job._prereq_canons.add(canonicalize_py(f"dns:{host}"))
+            job._prereq_canons.add(
+                canonicalize_py(f"http://{host}/robots.txt"))
         if job.catalog.has_log("seen"):
             job.seen = job._ck(job.catalog.read_log("seen", step)
                                .select("url_fp", "canon_url"))

@@ -1,0 +1,150 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from heritrix_spark.pipeline import dedup, multimodal, similarity, text
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over a lazy dog today"),  # near dup
+    (3, "completely different content about spark engines"),
+    (4, "der schnelle braune fuchs springt und ist nicht langsam"),
+    (5, "x"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_groups(docs).collect()
+    dup = [g for g in groups if g["n_dups"] > 1]
+    assert len(dup) == 1 and dup[0]["keeper"] == 0
+    kept = dedup.drop_exact_dups(docs)
+    assert kept.count() == 5
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.lsh_candidate_pairs(
+                 docs, num_hashes=16, bands=8, n=2).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert (0, 3) not in pairs  # unrelated docs don't collide in all bands
+
+
+def test_ngram_jaccard_refine(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in dedup.ngram_jaccard(docs, pairs, n=2).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.2 < j[(0, 2)] < 1.0
+    assert j[(0, 3)] == 0.0
+
+
+def test_simhash_near_dups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    assert sh[0] != sh[3]
+    nd = {(r["id_a"], r["id_b"]): r["hamming"]
+          for r in dedup.simhash_near_dups(docs, max_hamming=16).collect()}
+    assert nd[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.normal(size=(6, 8)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.normal(size=8).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_knn_brute_exact(spark, vectors):
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    top = similarity.knn_brute(
+        vectors.where(F.col("vec_id") != 0), q, k=2).collect()
+    assert top[0]["vec_id"] == 1  # the near-copy ranks first
+    assert top[0]["cosine"] > 0.99
+
+
+def test_knn_lsh_and_ivf_recall_top1(spark, vectors):
+    rng = np.random.Generator(np.random.PCG64(11))
+    planes = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(3)],
+        "plane_id int, plane_vec array<float>")
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    lsh = similarity.knn_lsh(vectors.where(F.col("vec_id") != 0), q,
+                             planes, k=2).collect()
+    assert lsh and lsh[0]["vec_id"] == 1  # near-copy shares every bucket
+
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in rng.normal(size=8)]),
+         (1, [float(x) for x in rng.normal(size=8)])],
+        "cell_id int, centroid array<float>")
+    ivf = similarity.knn_ivf(vectors.where(F.col("vec_id") != 0), q, cents,
+                             k=2, nprobe=2).collect()
+    assert ivf and ivf[0]["vec_id"] == 1  # nprobe=all cells → exact
+
+
+def test_text_ops(spark, docs):
+    out = text.quality_features(text.lang_id(docs)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["lang_guess"] == "en"
+    assert by_id[4]["lang_guess"] == "de"
+    assert by_id[5]["lang_guess"] == "unknown"
+    assert by_id[0]["quality_score"] > by_id[5]["quality_score"]
+    toks = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n"),
+        text.bpe_ish_token_count(F.col("text")).alias("nb")).collect()
+    td = {r["doc_id"]: (r["n"], r["nb"]) for r in toks}
+    assert td[0][0] == 9 and td[5][0] == 1
+    assert td[0][1] >= td[0][0]
+    fp = text.rolling_fingerprint(docs).collect()
+    fpd = {r["doc_id"]: r["fingerprint"] for r in fp}
+    assert fpd[0] == fpd[1] and fpd[0] != fpd[3]
+
+
+def test_multimodal_features_and_thumbs(spark):
+    from heritrix_spark.fixtures import gen, websim
+    spec = websim.FixtureSpec("mm", 12, 3, True)
+    pdf = gen.images_df(spec)
+    images = spark.createDataFrame(pdf)
+    feats = multimodal.image_features(images).collect()
+    assert len(feats) == 12 and all(r["decode_ok"] for r in feats)
+    by_id = {r["image_id"]: r for r in feats}
+    for r in pdf.itertuples():
+        assert by_id[r.image_id]["phash"] == r.phash
+        assert abs(by_id[r.image_id]["mean_r"] - 127.5) < 40
+    th = multimodal.thumbnails(images, 4, 4).collect()
+    assert len(th) == 12
+    from heritrix_spark.functions import imagecodec
+    t0 = imagecodec.decode(bytes(th[0]["thumb"]))
+    assert t0.shape == (4, 4, 3)
+
+
+def test_multimodal_stubs_raise(spark):
+    clips = spark.createDataFrame([("c1", b"xx")], "clip_id string, bytes binary")
+    with pytest.raises(Exception):
+        multimodal.audio_features(clips).collect()
+
+
+def test_phash_near_dup_pairs(spark):
+    rows = [("a", 0b1010), ("b", 0b1011), ("c", -4611686018427387904)]
+    feats = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = multimodal.phash_near_dup_pairs(feats, max_hamming=2).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got == {("a", "b"): 1}
