@@ -21,10 +21,15 @@ anti-join; this module is the standalone, reference-test-mirroring surface
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from heritrix_spark.functions.fingerprint import url_fp_expr
+from heritrix_spark.functions.fingerprint import hash_str_py, url_fp_expr
 
 
 def with_fp(df: DataFrame, canon_col: str = "canon_url") -> DataFrame:
@@ -84,14 +89,6 @@ class SeenFilter:
         probe is an Arrow-batched pandas UDF using the bit-exact Python
         xxhash64 mirror.
         """
-        import math
-
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        from heritrix_spark.functions.fingerprint import hash_str_py
-
         n = max(self.bloom_expected, 1024)
         m = max(1 << math.ceil(math.log2(
             -n * math.log(self.bloom_fpp) / (math.log(2) ** 2))), 1024)
