@@ -123,7 +123,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     fp = F.lit(0).cast("long")
     for i in range(bits):
         fp = fp.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") << i)
+            F.when(F.col(f"v{i}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i))
             .otherwise(F.lit(0).cast("long")))
     return agg.select(id_col, fp.alias("simhash"))
 

@@ -55,8 +55,10 @@ def hyperplane_buckets(df: DataFrame, planes: DataFrame,
     bit = F.when(_dot(F.col(vec_col), F.col("plane_vec")) >= 0,
                  F.lit(1)).otherwise(F.lit(0))
     sb = x.select(id_col, "plane_id", bit.alias("bit"))
+    # shiftleft with a column shift amount needs the SQL form (the Python
+    # helper only takes a literal bit count)
     return sb.groupBy(id_col).agg(
-        F.sum(F.col("bit") * F.shiftleft(F.lit(1), F.col("plane_id")))
+        F.sum(F.expr("CAST(bit AS BIGINT) * shiftleft(1L, plane_id)"))
         .alias("bucket"))
 
 
