@@ -25,8 +25,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CRAWL_SPEC = os.environ.get("SPARK_GRAFT_CRAWL_SPEC", "bench")
-CRAWL_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_STEPS", "14"))
-WARMUP_STEPS = 4
+CRAWL_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_STEPS", "22"))
+WARMUP_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_WARMUP", "6"))
+SEED_HOSTS = int(os.environ.get("SPARK_GRAFT_SEED_HOSTS", "200"))
+WINDOW_MS = int(os.environ.get("SPARK_GRAFT_WINDOW_MS", "240000"))
 
 
 def _spark(cores: int):
@@ -70,14 +72,14 @@ def bench_crawl(spark, work_root: str) -> dict:
     work = os.path.join(work_root, "crawl_work")
     shutil.rmtree(work, ignore_errors=True)
     cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
-                        max_steps=CRAWL_STEPS)
+                        max_steps=CRAWL_STEPS, window_ms=WINDOW_MS)
     job = CrawlJob(
         spark, spec, cfg,
         images=spark.read.parquet(paths["images"]),
         robots_rules=spark.read.parquet(paths["robots"]),
         host_config=spark.read.parquet(paths["host_config"]),
         work_dir=work, checkpoint_interval=100)
-    job.schedule_seeds(websim.seeds(spec))
+    job.schedule_seeds(websim.seeds(spec, SEED_HOSTS))
     warm = 0
     for _ in range(WARMUP_STEPS):
         if job.done:

@@ -17,18 +17,22 @@ ToeThread loop.  One superstep:
 
 1. ``ready_ts(q) = max(wake_ts(q), min earliest_ts over q's items)`` per
    nonempty, non-retired queue; ``now = max(prev_now, min ready_ts)``;
-   halt when no queue remains.
-2. Due queues: ``wake_ts < now + window_ms`` and at least one item with
-   ``earliest_ts <= now``.
+   halt when no queue remains.  ``now`` exists for discovery gating only —
+   an item cannot be fetched before the superstep in which its discovery
+   time has passed.
+2. Due queues: at least one item with ``earliest_ts <= now``.
 3. Per due queue, order eligible items by ``(directive, cost, ordinal)``
    (the BdbMultipleWorkQueues#calculateInsertKey composite-key order) and
-   fetch a *burst* sequentially in virtual time starting at
-   ``s0 = max(wake_ts, now)``: each item occupies
+   fetch a *burst* sequentially in the queue's OWN virtual time starting
+   at ``s0 = max(wake_ts, now)``: each item occupies
    ``fetch_ms + politeness_delay`` (robots-precluded items occupy 0 ms and
    are disregarded).  The burst stops at the first item whose start would
-   be ``>= now + window_ms``, or whose cumulative charge would exceed the
-   session balance, or at ``burst_max`` items.  max-per-host in-flight = 1
-   by construction (sequential virtual times never overlap).
+   be ``>= s0 + window_ms`` (a per-queue window — queues are paced by
+   their own politeness clocks, independent except for discovery, exactly
+   like Heritrix work queues), or whose cumulative charge would exceed
+   the session balance, or at ``burst_max`` items.  max-per-host
+   in-flight = 1 by construction (sequential virtual times never
+   overlap).
 4. ``politeness_delay = clamp(delay_factor * fetch_ms, min_delay_ms,
    max_delay_ms)``; with ``honor_crawl_delay`` the per-host robots
    Crawl-delay is a floor on top (Heritrix 1.x ignores it; north_rule

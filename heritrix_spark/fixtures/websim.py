@@ -138,9 +138,11 @@ def outlinks(k: int, spec: FixtureSpec) -> list[tuple[str, str]]:
     return out
 
 
-def seeds(spec: FixtureSpec) -> list[str]:
-    """Smallest page id of each of the first N_SEED_HOSTS host indexes."""
-    want = min(N_SEED_HOSTS, spec.n_hosts)
+def seeds(spec: FixtureSpec, n_hosts: int | None = None) -> list[str]:
+    """Smallest page id of each of the first N host indexes (default
+    N_SEED_HOSTS; benches pass a wider list — wide crawls start wide)."""
+    want = min(n_hosts if n_hosts is not None else N_SEED_HOSTS,
+               spec.n_hosts)
     found: dict[int, int] = {}
     for k in range(spec.n_images):
         i = host_index(k, spec.n_hosts)

@@ -175,16 +175,14 @@ class HeritrixSim:
 
     def _superstep(self) -> None:
         cfg, now = self.cfg, self.now
-        horizon = now + cfg.window_ms
         candidates: list[tuple[str, str, str, int]] = []  # url, hop, via, ts
         for q in sorted(self._live_queues(), key=lambda q: q.class_key):
-            if q.wake_ts >= horizon:
-                continue
             eligible = sorted((i for i in q.items if i.earliest_ts <= now),
                               key=Item.sort_key)
             if not eligible:
                 continue
             s = max(q.wake_ts, now)
+            horizon = s + cfg.window_ms  # per-queue window
             charged = 0
             done: list[Item] = []
             for rn, item in enumerate(eligible):

@@ -122,7 +122,8 @@ class CrawlJob:
         self.checkpoint_interval = checkpoint_interval
         self.images = images
         self.image_ids = F.broadcast(
-            images.select("image_id").withColumn("_exists", F.lit(True)))
+            images.select("image_id").withColumn("_exists", F.lit(True))
+            .persist())
         self.rules = R.rules_per_host(robots_rules)
         if host_config is not None:
             self.delays_pdf = host_config.select(
@@ -365,7 +366,6 @@ class CrawlJob:
         collect, one frontier merge materialization, and one clock agg.
         """
         cfg, now = self.cfg, self.now
-        horizon = now + cfg.window_ms
 
         # --- burst selection (WorkQueueFrontier.next, set-at-a-time) -------
         live = self.queues[~self.queues["retired"]]
@@ -373,8 +373,7 @@ class CrawlJob:
             live[["class_key", "wake_ts", "balance"]]) if len(live) else             self.spark.createDataFrame(
                 [], "class_key string, wake_ts long, balance long")
         elig = self.frontier.join(F.broadcast(qdf), "class_key")
-        elig = elig.where((F.col("earliest_ts") <= F.lit(now))
-                          & (F.col("wake_ts") < F.lit(horizon)))
+        elig = elig.where(F.col("earliest_ts") <= F.lit(now))
         w = Window.partitionBy("class_key").orderBy(
             "directive", "cost", "ordinal")
         a = (elig.withColumn("_rn", F.row_number().over(w) - 1)
@@ -428,7 +427,8 @@ class CrawlJob:
              .withColumn("_cum_c",
                          F.coalesce(F.sum("_charge").over(wp), F.lit(0)))
              .withColumn("fetch_start", (s0 + F.col("_cum_t")).cast("long")))
-        sel = b.where((F.col("fetch_start") < F.lit(horizon))
+        # Per-queue window: fetch_start < s0 + window  ⇔  cum_t < window
+        sel = b.where((F.col("_cum_t") < F.lit(cfg.window_ms))
                       & (F.col("_cum_c") < F.col("balance")))
         sel = (
             sel.withColumn(
