@@ -20,7 +20,11 @@ ToeThread loop.  One superstep:
    halt when no queue remains.  ``now`` exists for discovery gating only —
    an item cannot be fetched before the superstep in which its discovery
    time has passed.
-2. Due queues: at least one item with ``earliest_ts <= now``.
+2. Due queues: at least one item with ``earliest_ts <= s0`` where
+   ``s0 = max(wake_ts, now)`` is the queue's burst start — a queue ahead
+   of the global clock consumes items discovered in its own virtual past
+   (every fetch slot is >= s0, so causality is never violated; items
+   discovered mid-burst wait for the next superstep).
 3. Per due queue, order eligible items by ``(directive, cost, ordinal)``
    (the BdbMultipleWorkQueues#calculateInsertKey composite-key order) and
    fetch a *burst* sequentially in the queue's OWN virtual time starting

@@ -177,11 +177,11 @@ class HeritrixSim:
         cfg, now = self.cfg, self.now
         candidates: list[tuple[str, str, str, int]] = []  # url, hop, via, ts
         for q in sorted(self._live_queues(), key=lambda q: q.class_key):
-            eligible = sorted((i for i in q.items if i.earliest_ts <= now),
+            s = max(q.wake_ts, now)
+            eligible = sorted((i for i in q.items if i.earliest_ts <= s),
                               key=Item.sort_key)
             if not eligible:
                 continue
-            s = max(q.wake_ts, now)
             horizon = s + cfg.window_ms  # per-queue window
             charged = 0
             done: list[Item] = []

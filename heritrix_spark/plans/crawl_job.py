@@ -312,9 +312,13 @@ class CrawlJob:
             )).alias("_i", "url"),
         ).where((F.col("_i") == 0) & F.col("_dns")
                 | (F.col("_i") == 1) & F.col("_rob"))
+        # No seen anti-join here: the _dns/_rob flags from the driver-side
+        # prerequisite-canon set already encode exact seen-ness (prereq
+        # URLs only ever collide with other prereq URLs), so the plan is a
+        # pure local relation — no recursion into the seen union chain and
+        # no materialization job needed.
         pre = (
             pre.withColumn("canon_url", canonicalize_expr(F.col("url")))
-            .join(self.seen.select("canon_url"), "canon_url", "left_anti")
             .withColumn("url_fp", F.xxhash64(F.col("canon_url")))
             .withColumn("image_id", F.lit(None).cast("string"))
             .withColumn("kind", F.when(F.col("_i") == 0, C.KIND_DNS)
@@ -331,11 +335,7 @@ class CrawlJob:
             .withColumn("earliest_ts", F.col("_wake"))
             .select(*FRONTIER_COLS)
         )
-        # Materialize: pre's anti-join references the current seen plan —
-        # left lazy it would re-embed that plan inside the next seen union
-        # (exponential growth).  Tiny (2 rows/new queue); steps without new
-        # queues return the empty literal above and skip this.
-        return self._ck(pre), offsets
+        return pre.coalesce(1), offsets
 
     # -------------------------------------------------------------- superstep
 
@@ -373,7 +373,8 @@ class CrawlJob:
             live[["class_key", "wake_ts", "balance"]]) if len(live) else             self.spark.createDataFrame(
                 [], "class_key string, wake_ts long, balance long")
         elig = self.frontier.join(F.broadcast(qdf), "class_key")
-        elig = elig.where(F.col("earliest_ts") <= F.lit(now))
+        elig = elig.where(F.col("earliest_ts")
+                          <= F.greatest(F.col("wake_ts"), F.lit(now)))
         w = Window.partitionBy("class_key").orderBy(
             "directive", "cost", "ordinal")
         a = (elig.withColumn("_rn", F.row_number().over(w) - 1)
@@ -546,6 +547,10 @@ class CrawlJob:
         self._pending["seen"].append(seen_delta)
 
         self.step += 1
+        if self.step % 10 == 0:
+            # Compact the seen union chain (bounds plan depth + partition
+            # count between durable checkpoints).
+            self.seen = self._ck(self.seen)
         if self.step % self.checkpoint_interval == 0:
             self.checkpoint()
         self._advance_clock()
