@@ -25,10 +25,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CRAWL_SPEC = os.environ.get("SPARK_GRAFT_CRAWL_SPEC", "bench")
-CRAWL_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_STEPS", "22"))
-WARMUP_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_WARMUP", "6"))
+CRAWL_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_STEPS", "16"))
+WARMUP_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_WARMUP", "4"))
 SEED_HOSTS = int(os.environ.get("SPARK_GRAFT_SEED_HOSTS", "200"))
-WINDOW_MS = int(os.environ.get("SPARK_GRAFT_WINDOW_MS", "240000"))
+# Big supersteps amortize fixed per-step coordination and give the
+# executors real parallel work (the scaling lever at bench scale).
+WINDOW_MS = int(os.environ.get("SPARK_GRAFT_WINDOW_MS", "960000"))
+BURST_MAX = int(os.environ.get("SPARK_GRAFT_BURST", "256"))
 
 
 def _spark(cores: int):
@@ -58,13 +61,25 @@ def _fixture_paths(spark, spec):
             "host_config": os.path.join(root, "host_config.parquet")}
 
 
+BENCH_MODE = os.environ.get("SPARK_GRAFT_BENCH_MODE", "frontier")
+
+
 def bench_crawl(spark, work_root: str) -> dict:
-    """Steady-state crawl throughput: URLs processed/sec over the
-    post-warmup supersteps of the Zipf-skewed bench web."""
+    """Crawl-scheduler throughput over the Zipf-skewed bench web.
+
+    mode=frontier (default): the north-star shape — the full synthetic URL
+    corpus is injected as the seed list (a 10^N-URL frontier) and the
+    engine drains it under the politeness/budget law; every superstep is a
+    large window + anti-join + payload-join job (real parallel work).
+    mode=organic: seeds only the first SEED_HOSTS hosts and grows by link
+    discovery (ramp-dominated; small supersteps)."""
     import shutil
+
+    from pyspark.sql import functions as F
 
     from heritrix_spark import config as C
     from heritrix_spark.fixtures import websim
+    from heritrix_spark.operators.extract import url_of_expr
     from heritrix_spark.plans.crawl_job import CrawlJob
 
     spec = websim.SPECS[CRAWL_SPEC]
@@ -72,14 +87,26 @@ def bench_crawl(spark, work_root: str) -> dict:
     work = os.path.join(work_root, "crawl_work")
     shutil.rmtree(work, ignore_errors=True)
     cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
-                        max_steps=CRAWL_STEPS, window_ms=WINDOW_MS)
+                        max_steps=CRAWL_STEPS, window_ms=WINDOW_MS,
+                        burst_max=BURST_MAX)
     job = CrawlJob(
         spark, spec, cfg,
         images=spark.read.parquet(paths["images"]),
         robots_rules=spark.read.parquet(paths["robots"]),
         host_config=spark.read.parquet(paths["host_config"]),
         work_dir=work, checkpoint_interval=100)
-    job.schedule_seeds(websim.seeds(spec, SEED_HOSTS))
+    if BENCH_MODE == "frontier":
+        seed_df = spark.range(spec.n_images).select(
+            url_of_expr(F.col("id"), spec.n_hosts).alias("url"),
+            F.lit("").alias("hops_path"), F.lit("").alias("via"),
+            F.lit(True).alias("is_seed"),
+            F.lit(C.MEDIUM).cast("int").alias("directive"),
+            F.lit(0).cast("long").alias("earliest_ts"),
+            F.lit("").alias("_ord_ck"), F.lit(0).cast("int").alias("_ord_rn"),
+            F.col("id").cast("int").alias("_ord_j"))
+        job.schedule_seed_frame(seed_df)
+    else:
+        job.schedule_seeds(websim.seeds(spec, SEED_HOSTS))
     warm = 0
     for _ in range(WARMUP_STEPS):
         if job.done:

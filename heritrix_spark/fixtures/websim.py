@@ -59,6 +59,9 @@ SPECS = {
     "tiny": FixtureSpec("tiny", 200, 3, True),
     "small": FixtureSpec("small", 20_000, 50, False),
     "bench": FixtureSpec("bench", 1_000_000, 1000, False),
+    # Scaling-run corpus: large enough that superstep tasks carry real
+    # compute (the 10^10 design scale's local stand-in).
+    "bench2": FixtureSpec("bench2", 10_000_000, 2000, False),
 }
 
 

@@ -179,6 +179,11 @@ class CrawlJob:
             rows, "url string, hops_path string, via string, is_seed boolean,"
                   " directive int, earliest_ts long, _ord_ck string,"
                   " _ord_rn int, _ord_j int")
+        self.schedule_seed_frame(cand)
+
+    def schedule_seed_frame(self, cand: DataFrame) -> None:
+        """Seed injection from a DataFrame of candidate-schema rows — the
+        scalable path for large seed lists / full-frontier bench replays."""
         c = self._ck(self._candidate_plan(cand))
         stats = c.groupBy("class_key").agg(*self._cand_aggs()).collect()
         pre, offsets = self._merge_candidate_queues(stats)

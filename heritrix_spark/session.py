@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # Shuffle/spill on tmpfs: local-mode shuffle writes otherwise
+        # serialize on disk bandwidth and flatten core scaling.
+        .config("spark.local.dir",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm")
+                else "/tmp/spark-local")
         # Engine arithmetic (hash-derived ints) relies on Java long semantics.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
