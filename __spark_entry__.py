@@ -307,9 +307,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "budget_sums": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
-                       AS sum_price_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
@@ -339,10 +339,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_expenditure": """
             SELECT o_custkey, o_orderkey,
-                   SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
-                       OVER (PARTITION BY o_custkey
-                             ORDER BY o_orderdate, o_orderkey
-                             ROWS UNBOUNDED PRECEDING) AS run_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS run_cents
             FROM orders
         """,
         "set_except": """
@@ -353,7 +354,9 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY key
         """,
         "quota_enforcer": """
-            SELECT l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS total_qty
             FROM lineitem GROUP BY l_suppkey
             HAVING SUM(CAST(l_quantity AS BIGINT)) > 3000
             ORDER BY l_suppkey
@@ -372,14 +375,14 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
               FROM g)
-            SELECT user_id, MAX(session_id) AS n_sessions,
+            SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id ORDER BY user_id
         """,
         "hop_type_counts": """
             SELECT user_id,
-                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                       AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
                    COUNT(DISTINCT event_type) AS n_types
             FROM events GROUP BY user_id ORDER BY user_id
         """,

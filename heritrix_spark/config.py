@@ -111,6 +111,17 @@ class CrawlConfig:
     total_budget: int = -1  # -1 = unlimited (queue never retired)
     burst_max: int = 64
     window_ms: int = 60_000
+    # Hot-host skew defusal (north_star: explicit salting).  The burst
+    # window runs in two phases: phase 1 ranks within (class_key, salt)
+    # where salt = pmod(url_fp, partition_salt) and keeps only the
+    # per-salt top-burst_max (a rank<=k filter Spark rewrites into
+    # WindowGroupLimit — a bounded per-partition top-k, no full sort);
+    # phase 2 runs the exact (directive, cost, ordinal) window over the
+    # <= partition_salt * burst_max survivors per queue.  A Zipf-head
+    # queue therefore never produces an unbounded single-task sort, and
+    # its frontier rows are spread over partition_salt shuffle partitions.
+    # 1 disables phase 1 (exact output is identical either way).
+    partition_salt: int = 16
     cost_policy: str = "unit"  # unit | wag | anticalendar
     honor_crawl_delay: bool = False  # engine superset mode (SURVEY §2.H R3)
     # Scope (DecideRule fold)

@@ -46,8 +46,6 @@ def xxh64(data: bytes, seed: int = 42) -> int:
         v3 = seed & _MASK
         v4 = (seed - _P1) & _MASK
         while i <= n - 32:
-            for _ in range(1):
-                pass
             lane = int.from_bytes(data[i:i + 8], "little")
             v1 = (_rotl((v1 + lane * _P2) & _MASK, 31) * _P1) & _MASK
             lane = int.from_bytes(data[i + 8:i + 16], "little")

@@ -50,7 +50,7 @@ def progress_statistics(lineage: DataFrame) -> DataFrame:
 
 def seeds_report(lineage: DataFrame, frontier: DataFrame) -> DataFrame:
     """Disposition of every seed (seeds-report.txt analog)."""
-    seed_events = lineage.where(F.col("ordinal").isNotNull())
+    seed_events = lineage.where(F.col("is_seed"))
     crawled = seed_events.groupBy("canon_url").agg(
         F.max("status").alias("status"),
         F.max("event").alias("last_event"))

@@ -31,12 +31,13 @@ def _engine_events(job: CrawlJob) -> list[tuple]:
 
 
 def _run_pair(spark, tmp_path, spec_name: str, cfg: C.CrawlConfig,
-              max_steps: int | None):
+              max_steps: int | None, seed_urls: list[str] | None = None):
     spec = websim.SPECS[spec_name]
     fixdir = tmp_path / f"fix_{spec_name}"
     paths = gen.write_fixture(spec, str(fixdir))
+    seed_urls = seed_urls if seed_urls is not None else websim.seeds(spec)
     sim = HeritrixSim(spec, cfg)
-    sim.schedule_seeds(websim.seeds(spec))
+    sim.schedule_seeds(seed_urls)
     sim.run(max_steps)
 
     job = CrawlJob(
@@ -45,7 +46,7 @@ def _run_pair(spark, tmp_path, spec_name: str, cfg: C.CrawlConfig,
         robots_rules=spark.read.parquet(paths["robots"]),
         host_config=spark.read.parquet(paths["host_config"]),
         work_dir=str(tmp_path / f"work_{spec_name}"))
-    job.schedule_seeds(websim.seeds(spec))
+    job.schedule_seeds(seed_urls)
     job.run(max_steps)
     return sim, job
 
@@ -67,6 +68,32 @@ def test_tiny_full_crawl_equivalence(spark, tmp_path):
     sim, job = _run_pair(spark, tmp_path, "tiny", cfg, None)
     _assert_equal(sim, job)
     assert job.done
+
+
+def test_prereq_shaped_seeds_equivalence(spark, tmp_path):
+    """Seeds that take prerequisite shapes (robots.txt / dns:) collide
+    with queue-inserted prerequisites; first-arrival-wins must match the
+    oracle's sequential seen-set claims in every direction:
+
+    * robots.txt seed arriving BEFORE any other URL of its host — the
+      queue it creates skips its robots prerequisite (ordinals shift);
+    * robots.txt seed arriving AFTER a normal seed of the same host — the
+      queue's prerequisite claimed first, the seed is dropped;
+    * a dns: seed, same two-sided semantics.
+    """
+    spec_seeds = websim.seeds(websim.SPECS["tiny"])
+    seed_urls = [
+        "http://h0000.example.test/robots.txt",  # before host 0's seed
+        spec_seeds[0],
+        spec_seeds[1],
+        "http://h0001.example.test/robots.txt",  # after host 1's seed
+        "dns:h0002.example.test",                # before host 2's seed
+        spec_seeds[2],
+    ]
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes())
+    sim, job = _run_pair(spark, tmp_path, "tiny", cfg, 6,
+                         seed_urls=seed_urls)
+    _assert_equal(sim, job)
 
 
 @pytest.mark.slow
