@@ -5,10 +5,19 @@
 from SURVEY.md §2 plus the training-data pipeline ops, each checked against
 DuckDB at sf0.01 (row count + schema + order-insensitive value hash).
 
+The entries exercise the SHIPPED ``heritrix_spark`` modules (scheduler
+window, seen filter, canonicalizer, SURT, scope fold, cost policies,
+robots matcher, dedup/text/similarity pipelines) — the DuckDB oracle
+certifies the product, not a re-implementation.  Where a module defaults
+to ``xxhash64`` (which DuckDB lacks) the module's pluggable ``hash_fn``
+runs with md5 so both engines compute the identical function; the hash is
+a parameter of the algorithm, not its substance.
+
 Numeric-stability conventions (cross-engine exactness): money sums are
-computed in integer cents (``CAST(ROUND(x*100) AS BIGINT)``), quantities as
-BIGINT, and float columns are excluded from outputs, so value hashes are
-bit-deterministic in both engines.
+computed in integer cents (``CAST(ROUND(x*100) AS BIGINT)``), quantities
+and scores as BIGINT/INT (all SUM-typed oracle columns CAST to BIGINT —
+DuckDB SUM returns HUGEINT), and float columns are excluded from outputs,
+so value hashes are bit-deterministic in both engines.
 """
 
 from __future__ import annotations
@@ -28,33 +37,43 @@ def _cents(col):
     return F.round(col * 100).cast("long")
 
 
+def _md5_32(c):
+    """md5 → 32-bit unsigned int — the cross-engine numeric hash_fn."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Crawl-engine operator classes over the harness tables (SURVEY §2.K)
 # ---------------------------------------------------------------------------
 
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scheduler law F3/F5: top-k-per-queue via the composite-key window
-    (class_key ≙ customer, (directive, cost, ordinal) ≙ (priority, -price,
-    orderkey))."""
+    """Scheduler law F3/F5 via the engine's salted top-k-per-queue window
+    (operators.schedule.top_k_per_queue — the same operator CrawlJob's
+    burst selection runs): class_key ≙ customer, (directive, cost,
+    ordinal) ≙ (priority, -price, orderkey)."""
+    from heritrix_spark.operators.schedule import top_k_per_queue
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(),
-        F.col("o_orderkey").asc())
-    return (o.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= 3)
+    return (top_k_per_queue(
+                o, ["o_custkey"],
+                [F.col("o_orderpriority").asc(),
+                 F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+                3, rank_col="rn", salt_col="o_orderkey", salt_count=8)
             .select("o_custkey", "o_orderkey", "o_orderpriority",
                     _cents(F.col("o_totalprice")).alias("price_cents"),
                     "rn"))
 
 
 def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UriUniqFilter U1: candidates (customers) minus seen (recent order
-    refs) — predicate keeps the anti-join non-degenerate at small SF."""
+    """UriUniqFilter U1 via operators.uniq.SeenFilter: candidates
+    (customers) minus seen (recent order refs)."""
+    from heritrix_spark.operators.uniq import SeenFilter
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
-    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
-                   "c_custkey", "left_anti")
+    seen = (_t(spark, sf_dir, "orders")
+            .where(F.col("o_orderdate")
+                   >= F.lit("1998-01-01").cast("timestamp"))
+            .select(F.col("o_custkey").alias("c_custkey")))
+    f = SeenFilter(spark, seen=seen)
+    return (f.filter_unseen(c, canon_col="c_custkey")
             .select("c_custkey", "c_name", "c_mktsegment"))
 
 
@@ -155,95 +174,264 @@ def q_hop_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id"))
 
 
+def q_first_arrival_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MemUriUniqFilter U4 via operators.uniq.dedup_first_arrival: first
+    event per (user, event_type) in arrival order."""
+    from heritrix_spark.operators.uniq import dedup_first_arrival
+    e = _t(spark, sf_dir, "events").withColumn(
+        "_k", F.concat_ws(":", F.col("user_id").cast("string"),
+                          F.col("event_type")))
+    return (dedup_first_arrival(e, ["ts", "event_id"], canon_col="_k")
+            .select("user_id", "event_type", "event_id")
+            .orderBy("user_id", "event_type"))
+
+
 # ---------------------------------------------------------------------------
-# Training-data pipeline ops (dedup / similarity / text analysis)
+# URL-layer functions (canonicalizer C1-C3, SURT C4, classKey F7,
+# cost F9-F12, hops X3, scope fold S1-S9, robots R2) — messy inputs are
+# synthesized deterministically from doc_id; the DuckDB oracle states the
+# expected output in closed form (an independent derivation of the same
+# template, not a port of the regex chain).
 # ---------------------------------------------------------------------------
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on content digest (keeper = min id)."""
-    d = _t(spark, sf_dir, "documents")
-    return (d.groupBy(F.md5("text").alias("digest"))
-            .agg(F.count("*").alias("n_dups"),
-                 F.min("doc_id").alias("keeper"))
-            .orderBy("digest"))
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id")
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-level MinHash (2 permutations via salted md5) per document."""
-    d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")).where(
-        F.col("w") != "")
-    return (words.groupBy("doc_id").agg(
-        F.min(F.md5(F.concat(F.lit("1"), F.col("w")))).alias("mh1"),
-        F.min(F.md5(F.concat(F.lit("2"), F.col("w")))).alias("mh2"))
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizer chain end-to-end (userinfo, www, default port,
+    jsessionid path param, session query params, &&, trailing ?/&,
+    fragment, dot segments)."""
+    from heritrix_spark.functions.canonicalize import canonicalize_expr
+    d = _doc_ids(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.lit("http://user@WWW.h"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.test:80/a/./b/../p/"), ds,
+        F.lit(";jsessionid=0123456789abcdefgh?sid=abc&x="), ds,
+        F.lit("&&y=1&#frag"))
+    return (d.select("doc_id",
+                     canonicalize_expr(messy).alias("canon_url"))
+            .orderBy("doc_id"))
+
+
+def q_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT transform (label reversal + port + rest)."""
+    from heritrix_spark.functions.surt import surt_expr
+    d = _doc_ids(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".sub.example.org:8443/p/"), ds)
+    return d.select("doc_id", surt_expr(url).alias("surt")).orderBy("doc_id")
+
+
+def q_class_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HostnameQueueAssignmentPolicy F7: host + nonstandard port."""
+    from heritrix_spark.functions.canonicalize import class_key_expr
+    d = _doc_ids(spark, sf_dir)
+    hs = F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                  F.lit(".example.test"))
+    url = F.concat(
+        F.lit("http://"), hs,
+        F.when(F.col("doc_id") % 3 == 1, F.lit(":80"))
+        .when(F.col("doc_id") % 3 == 2, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/x"))
+    return (d.select("doc_id", class_key_expr(url).alias("class_key"))
+            .orderBy("doc_id"))
+
+
+def q_cost_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wag + AntiCalendar cost policies F11/F12 over path-depth, query
+    and calendar-trap variation."""
+    from heritrix_spark.functions.cost import (
+        anticalendar_cost_expr,
+        wag_cost_expr,
+    )
+    d = _doc_ids(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    path = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("/cal/2026/"), (1 + F.col("doc_id") % 12).cast("string"),
+                 F.lit("/"), (1 + F.col("doc_id") % 28).cast("string"),
+                 F.lit("/x"))
+    ).otherwise(F.concat(F.lit("/p/"), (F.col("doc_id") % 9).cast("string"),
+                         F.lit("/img"), ds))
+    query = F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("?q="),
+                            F.repeat(F.lit("z"),
+                                     (F.col("doc_id") % 40).cast("int")))
+                   ).otherwise(F.lit(""))
+    url = F.concat(F.lit("http://h.example.test"), path, query)
+    return (d.select("doc_id",
+                     wag_cost_expr(url).alias("wag_cost"),
+                     anticalendar_cost_expr(url).alias("anticalendar_cost"))
+            .orderBy("doc_id"))
+
+
+def q_hop_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pathFromSeed grammar X3: link-hop count + transclusion tail."""
+    from heritrix_spark.functions.hops import link_hops_expr, trans_tail_expr
+    d = _doc_ids(spark, sf_dir)
+    hops = F.concat(
+        F.repeat(F.lit("L"), (F.col("doc_id") % 5).cast("int")),
+        F.repeat(F.lit("E"), (F.col("doc_id") % 3).cast("int")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("P")).otherwise(F.lit("")))
+    return (d.select("doc_id",
+                     link_hops_expr(hops).alias("n_link_hops"),
+                     trans_tail_expr(hops).alias("n_trans_tail"))
+            .orderBy("doc_id"))
+
+
+def q_scope_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecideRule fold S1-S9 (prereq-accept, hops, transclusion tail,
+    path depth, pathological path) via operators.scope.scope_accepts_expr."""
+    from heritrix_spark.config import CrawlConfig
+    from heritrix_spark.operators.scope import scope_accepts_expr
+    cfg = CrawlConfig(max_link_hops=4, max_trans_hops=2,
+                      max_path_segments=5, pathological_repeats=2)
+    d = _doc_ids(spark, sf_dir)
+    path = F.concat(
+        F.substring(F.lit("/a/b/c/d/e/f/g/h"), 1,
+                    (2 * (F.col("doc_id") % 8)).cast("int")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/z/z/z"))
+        .otherwise(F.lit("")))
+    url = F.concat(F.lit("http://h.example.test"), path)
+    hops = F.concat(
+        F.repeat(F.lit("L"), (F.col("doc_id") % 7).cast("int")),
+        F.repeat(F.lit("E"), (F.col("doc_id") % 4).cast("int")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("P")).otherwise(F.lit("")))
+    return (d.select("doc_id",
+                     scope_accepts_expr(cfg, url, hops).alias("accepted"))
+            .orderBy("doc_id"))
+
+
+def q_robots_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobotsExclusionPolicy R2: longest-prefix Allow/Disallow verdict via
+    operators.robots (rules_per_host + join_rules + disallowed_expr)."""
+    from heritrix_spark.functions.canonicalize import path_expr
+    from heritrix_spark.operators import robots as R
+    rules = spark.createDataFrame(
+        [("h.example.test", "/a", False, 0),
+         ("h.example.test", "/a/b", True, 1),
+         ("h.example.test", "/c", False, 2)],
+        "host string, path_prefix string, allow boolean, rule_order int")
+    d = _doc_ids(spark, sf_dir)
+    path = (F.when(F.col("doc_id") % 5 == 0, F.lit("/a/x"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("/a/b/c"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("/c/z"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("/d"))
+            .otherwise(F.lit("/robots.txt")))
+    batch = d.select("doc_id",
+                     F.lit("h.example.test").alias("host"),
+                     F.concat(F.lit("http://h.example.test"), path)
+                     .alias("url"))
+    joined = R.join_rules(batch, R.rules_per_host(rules))
+    return (joined.select(
+        "doc_id",
+        R.disallowed_expr(path_expr(F.col("url")),
+                          F.col("robots_rules")).alias("disallowed"))
         .orderBy("doc_id"))
 
 
-def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: bucket by minhash band, report collision groups."""
-    sigs = q_minhash_signatures(spark, sf_dir)
-    return (sigs.groupBy(F.substring("mh1", 1, 8).alias("band"))
-            .agg(F.count("*").alias("n_docs"),
-                 F.min("doc_id").alias("min_doc"))
-            .orderBy("band"))
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (dedup / similarity / text analysis) — all
+# routed through heritrix_spark.pipeline modules.
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via pipeline.dedup.exact_groups (digest groupBy)."""
+    from heritrix_spark.pipeline.dedup import exact_groups
+    d = _t(spark, sf_dir, "documents")
+    return (exact_groups(d).select("digest", "n_dups", "keeper")
+            .orderBy("digest"))
+
+
+def q_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup removal via pipeline.dedup.drop_exact_dups (min-id
+    representative per digest group)."""
+    from heritrix_spark.pipeline.dedup import drop_exact_dups
+    d = _t(spark, sf_dir, "documents")
+    return drop_exact_dups(d).select("doc_id").orderBy("doc_id")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram MinHash via pipeline.dedup.minhash_signatures
+    (4 permutations; md5 hash_fn for cross-engine equality)."""
+    from heritrix_spark.pipeline.dedup import minhash_signatures
+    d = _t(spark, sf_dir, "documents")
+    return (minhash_signatures(d, num_hashes=4, n=2, hash_fn=F.md5)
+            .orderBy("doc_id"))
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding → candidate pairs via
+    pipeline.dedup.lsh_candidate_pairs (2 bands × 2 rows)."""
+    from heritrix_spark.pipeline.dedup import lsh_candidate_pairs
+    d = _t(spark, sf_dir, "documents")
+    return (lsh_candidate_pairs(d, num_hashes=4, bands=2, n=2,
+                                hash_fn=F.md5)
+            .orderBy("id_a", "id_b"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard refine of the LSH pairs via
+    pipeline.dedup.ngram_jaccard (integer intersect/union sizes)."""
+    from heritrix_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard,
+    )
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, num_hashes=4, bands=2, n=2, hash_fn=F.md5)
+    return (ngram_jaccard(d, pairs, n=2)
+            .select("id_a", "id_b", "n_inter", "n_union")
+            .orderBy("id_a", "id_b"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprint via pipeline.dedup.simhash (16 bits,
+    md5-derived 32-bit word hash for cross-engine equality)."""
+    from heritrix_spark.pipeline.dedup import simhash
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, bits=16, hash_fn=_md5_32).orderBy("doc_id")
 
 
 def q_ngram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: md5 of the normalized head (C3-style chain)."""
+    """Document head fingerprint via pipeline.text.rolling_fingerprint."""
+    from heritrix_spark.pipeline.text import rolling_fingerprint
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.substring("text", 1, 64)),
-                            "[^a-z]", "")
-    return d.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
+    return (rolling_fingerprint(d, hash_fn=F.md5)
+            .select("doc_id", "fingerprint").orderBy("doc_id"))
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality scoring (integer-exact)."""
+    """Token counting + integer quality scoring via
+    pipeline.text.quality_features."""
+    from heritrix_spark.pipeline.text import quality_features
     d = _t(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), " "),
-                     lambda x: x != F.lit(""))
-    n_tok = F.size(words)
-    return d.select(
-        "doc_id", n_tok.alias("n_tokens"),
-        F.length("text").alias("n_chars_computed"),
-        (F.when(n_tok > 60, 2).otherwise(1)
-         + F.when(F.length("text") > 300, 1).otherwise(0))
-        .cast("long").alias("quality_score")).orderBy("doc_id")
+    return (quality_features(d)
+            .select("doc_id", "n_chars", "n_tokens", "n_punct",
+                    "n_stopwords", "quality_score_pct")
+            .orderBy("doc_id"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio language heuristic (integer counts only)."""
+    """Stopword-profile language ID via pipeline.text.lang_id (argmax
+    over per-language stopword hits)."""
+    from heritrix_spark.pipeline.text import lang_id
     d = _t(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), " "),
-                     lambda x: x != F.lit(""))
-    stops = F.filter(words, lambda x: x.isin("the", "and", "of", "to",
-                                             "a", "in"))
-    return d.select(
-        "doc_id", F.size(words).alias("n_words"),
-        F.size(stops).alias("n_stop"),
-        F.when(F.size(stops) * 20 >= F.size(words), F.lit("en"))
-        .otherwise(F.lit("other")).alias("lang_guess")).orderBy("doc_id")
+    return lang_id(d).select("doc_id", "lang_guess").orderBy("doc_id")
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k vs query vector (vec_id=0), JVM-side
-    zip_with/aggregate dot product in float64."""
+    """Brute-force cosine top-k via pipeline.similarity.knn_brute (query =
+    vec 0 vs the rest; rank output, float score excluded)."""
+    from heritrix_spark.pipeline.similarity import knn_brute
     e = _t(spark, sf_dir, "embeddings")
-    qv = e.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"))
-    x = e.crossJoin(F.broadcast(qv))
-    dot = F.aggregate(
-        F.zip_with("embedding", "qv",
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
-    cos = dot / (nrm(F.col("embedding")) * nrm(F.col("qv")))
-    return (x.where(F.col("vec_id") != 0)
-            .select("vec_id", "label", cos.alias("_cos"))
-            .orderBy(F.col("_cos").desc(), F.col("vec_id"))
-            .limit(5).select("vec_id", "label"))
+    corpus = e.where(F.col("vec_id") != 0)
+    query = e.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("q_id"), F.col("embedding").alias("q_vec"))
+    return (knn_brute(corpus, query, k=5)
+            .select("vec_id", "rank").orderBy("rank"))
 
 
 def q_label_centroids_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,15 +465,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_enforcer": q_quota_enforcer,
         "sessionize": q_sessionize,
         "hop_type_counts": q_hop_type_counts,
+        "first_arrival_dedup": q_first_arrival_dedup,
+        "canonicalize": q_canonicalize,
+        "surt": q_surt,
+        "class_key": q_class_key,
+        "cost_policies": q_cost_policies,
+        "hop_path_ops": q_hop_path_ops,
+        "scope_fold": q_scope_fold,
+        "robots_match": q_robots_match,
         "dedup_exact": q_dedup_exact,
+        "dedup_drop": q_dedup_drop,
         "minhash_signatures": q_minhash_signatures,
-        "lsh_buckets": q_lsh_buckets,
+        "lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
         "ngram_fingerprint": q_ngram_fingerprint,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "knn_brute": q_knn_brute,
         "label_centroids_topk": q_label_centroids_topk,
     }
+
+
+_WS = r"\s+"
+
+# Shared DuckDB CTE fragments (documents word/shingle pipelines).
+_SQL_WORDS = (
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')")
+_SQL_SHINGLES_N2 = f"""
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(0, greatest(len({_SQL_WORDS}) - 2, 0) + 1),
+                   x -> array_to_string(({_SQL_WORDS})[x+1:x+2], ' '))))
+                   AS shingle
+        FROM documents
+"""
+_SQL_MINHASH4 = f"""
+        SELECT doc_id,
+               MIN(md5('s0:' || shingle)) AS mh0,
+               MIN(md5('s1:' || shingle)) AS mh1,
+               MIN(md5('s2:' || shingle)) AS mh2,
+               MIN(md5('s3:' || shingle)) AS mh3
+        FROM ({_SQL_SHINGLES_N2}) GROUP BY doc_id
+"""
+_SQL_LSH_PAIRS = f"""
+        WITH sigs AS ({_SQL_MINHASH4}),
+        bb AS (
+          SELECT doc_id, 0 AS band, md5(mh0 || ':' || mh1) AS bucket
+          FROM sigs
+          UNION ALL
+          SELECT doc_id, 1 AS band, md5(mh2 || ':' || mh3) AS bucket
+          FROM sigs)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+"""
+
+
+def _simhash16_sql() -> str:
+    h = "(('0x' || substr(md5(w), 1, 8))::BIGINT)"
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16))
+    pack = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+        for i in range(16))
+    return f"""
+        WITH words AS (
+          SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents),
+        votes AS (
+          SELECT doc_id,
+               {votes}
+          FROM words GROUP BY doc_id)
+        SELECT doc_id, CAST({pack} AS BIGINT) AS simhash
+        FROM votes ORDER BY doc_id
+    """
+
+
+def _lang_id_sql() -> str:
+    from heritrix_spark.pipeline.text import STOPWORDS
+    hits = ",\n                 ".join(
+        "len(list_filter(list_filter(string_split_regex(lower(text),"
+        " '\\s+'), x -> x <> ''), x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sw) + f"], x))) AS h_{lang}"
+        for lang, sw in STOPWORDS.items())
+    structs = ", ".join(
+        f"{{'hits': h_{lang}, 'lang': '{lang}'}}" for lang in STOPWORDS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 {hits}
+          FROM documents),
+        b AS (
+          SELECT doc_id, list_sort([{structs}])[-1] AS best FROM t)
+        SELECT doc_id,
+               CASE WHEN best['hits'] > 0 THEN best['lang']
+                    ELSE 'unknown' END AS lang_guess
+        FROM b ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -386,70 +663,154 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT event_type) AS n_types
             FROM events GROUP BY user_id ORDER BY user_id
         """,
+        "first_arrival_dedup": """
+            SELECT user_id, event_type, event_id
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY CAST(user_id AS VARCHAR) || ':' || event_type
+                ORDER BY ts, event_id) = 1
+            ORDER BY user_id, event_type
+        """,
+        "canonicalize": """
+            SELECT doc_id,
+                   'http://h' || (doc_id % 50) || '.example.test/a/p/'
+                   || doc_id || '?x=' || doc_id || '&y=1' AS canon_url
+            FROM documents ORDER BY doc_id
+        """,
+        "surt": """
+            SELECT doc_id,
+                   'https://(org,example,sub,h' || (doc_id % 50)
+                   || ',):8443/p/' || doc_id AS surt
+            FROM documents ORDER BY doc_id
+        """,
+        "class_key": """
+            SELECT doc_id,
+                   'h' || (doc_id % 50) || '.example.test'
+                   || CASE WHEN doc_id % 3 = 2 THEN ':8080' ELSE '' END
+                       AS class_key
+            FROM documents ORDER BY doc_id
+        """,
+        "cost_policies": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN 5
+                          ELSE 3 END AS nsegs,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 2 + CAST(floor((2 + doc_id % 40) / 32) AS INT)
+                          ELSE 0 END AS qcost,
+                     CASE WHEN doc_id % 4 = 0 THEN 7 ELSE 0 END AS cal
+              FROM documents)
+            SELECT doc_id,
+                   CAST(1 + nsegs + qcost AS INT) AS wag_cost,
+                   CAST(1 + nsegs + qcost + cal AS INT)
+                       AS anticalendar_cost
+            FROM t ORDER BY doc_id
+        """,
+        "hop_path_ops": """
+            SELECT doc_id,
+                   CAST(doc_id % 5 AS INT) AS n_link_hops,
+                   CAST(doc_id % 3
+                        + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                        AS INT) AS n_trans_tail
+            FROM documents ORDER BY doc_id
+        """,
+        "scope_fold": """
+            SELECT doc_id,
+                   (doc_id % 13 = 0)
+                   OR (doc_id % 7 <= 4 AND doc_id % 4 <= 2
+                       AND (doc_id % 8)
+                           + CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END <= 5
+                       AND doc_id % 11 <> 0) AS accepted
+            FROM documents ORDER BY doc_id
+        """,
+        "robots_match": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN true   -- /a/x    (Dis /a)
+                        WHEN doc_id % 5 = 1 THEN false  -- /a/b/c  (All /a/b)
+                        WHEN doc_id % 5 = 2 THEN true   -- /c/z    (Dis /c)
+                        WHEN doc_id % 5 = 3 THEN false  -- /d      (no rule)
+                        ELSE false                      -- /robots.txt
+                   END AS disallowed
+            FROM documents ORDER BY doc_id
+        """,
         "dedup_exact": """
             SELECT md5(text) AS digest, COUNT(*) AS n_dups,
                    MIN(doc_id) AS keeper
             FROM documents GROUP BY md5(text) ORDER BY digest
         """,
-        "minhash_signatures": """
-            SELECT doc_id, MIN(md5('1' || w)) AS mh1,
-                   MIN(md5('2' || w)) AS mh2
-            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                  FROM documents)
-            WHERE w <> '' GROUP BY doc_id ORDER BY doc_id
+        "dedup_drop": """
+            SELECT doc_id FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1
+            ORDER BY doc_id
         """,
-        "lsh_buckets": """
-            WITH sigs AS (
-              SELECT doc_id, MIN(md5('1' || w)) AS mh1
-              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                    FROM documents)
-              WHERE w <> '' GROUP BY doc_id)
-            SELECT substr(mh1, 1, 8) AS band, COUNT(*) AS n_docs,
-                   MIN(doc_id) AS min_doc
-            FROM sigs GROUP BY substr(mh1, 1, 8) ORDER BY band
+        "minhash_signatures": f"""
+            {_SQL_MINHASH4} ORDER BY doc_id
         """,
+        "lsh_pairs": f"""
+            {_SQL_LSH_PAIRS} ORDER BY id_a, id_b
+        """,
+        "ngram_jaccard": f"""
+            WITH pairs AS ({_SQL_LSH_PAIRS}),
+            sets AS (
+              SELECT doc_id, list_distinct(list(shingle)) AS sset
+              FROM ({_SQL_SHINGLES_N2}) GROUP BY doc_id)
+            SELECT p.id_a, p.id_b,
+                   len(list_intersect(a.sset, b.sset)) AS n_inter,
+                   len(list_distinct(a.sset || b.sset)) AS n_union
+            FROM pairs p JOIN sets a ON p.id_a = a.doc_id
+                         JOIN sets b ON p.id_b = b.doc_id
+            ORDER BY p.id_a, p.id_b
+        """,
+        "simhash": _simhash16_sql(),
         "ngram_fingerprint": """
             SELECT doc_id,
                    md5(regexp_replace(lower(substr(text, 1, 64)),
-                                      '[^a-z]', '', 'g')) AS fp
+                                      '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
-        "token_stats": """
-            SELECT doc_id,
-                   len(list_filter(string_split(text, ' '),
-                                   x -> x <> '')) AS n_tokens,
-                   length(text) AS n_chars_computed,
-                   CAST(CASE WHEN len(list_filter(string_split(text, ' '),
-                                                  x -> x <> '')) > 60
-                             THEN 2 ELSE 1 END
-                        + CASE WHEN length(text) > 300 THEN 1 ELSE 0 END
-                        AS BIGINT) AS quality_score
-            FROM documents ORDER BY doc_id
-        """,
-        "lang_id": """
+        "token_stats": f"""
             WITH t AS (
               SELECT doc_id,
-                     len(list_filter(string_split(text, ' '),
-                                     x -> x <> '')) AS n_words,
-                     len(list_filter(string_split(text, ' '),
-                         x -> list_contains(['the','and','of','to','a','in'],
-                                            x))) AS n_stop
+                     length(text) AS n_chars,
+                     len({_SQL_WORDS}) AS n_tokens,
+                     length(regexp_replace(text, '[^!?.,;:]', '', 'g'))
+                         AS n_punct,
+                     len(list_filter(
+                         list_filter(string_split_regex(lower(text),
+                                                        '\\s+'),
+                                     x -> x <> ''),
+                         x -> list_contains(['the','and','of','to','a','in',
+                                             'is','that','it','for'], x)))
+                         AS n_stopwords
               FROM documents)
-            SELECT doc_id, n_words, n_stop,
-                   CASE WHEN n_stop * 20 >= n_words THEN 'en'
-                        ELSE 'other' END AS lang_guess
+            SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+                   CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000
+                             THEN 40 ELSE 0 END
+                        + CASE WHEN n_chars >= 3 * n_tokens
+                                AND n_chars <= 12 * n_tokens
+                               THEN 20 ELSE 0 END
+                        + CASE WHEN 5 * n_punct <= n_chars
+                               THEN 20 ELSE 0 END
+                        + CASE WHEN 50 * n_stopwords >= n_tokens
+                               THEN 20 ELSE 0 END AS INT)
+                       AS quality_score_pct
             FROM t ORDER BY doc_id
         """,
+        "lang_id": _lang_id_sql(),
         "knn_brute": """
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 0)
-            SELECT vec_id, label
+            SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                       list_cosine_similarity(
+                           list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE)),
+                           list_transform(qv, x -> CAST(x AS DOUBLE)))
+                       DESC, vec_id) AS INT) AS rank
             FROM embeddings, q
             WHERE vec_id <> 0
-            ORDER BY list_cosine_similarity(
-                list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                list_transform(qv, x -> CAST(x AS DOUBLE))) DESC, vec_id
-            LIMIT 5
+            ORDER BY rank LIMIT 5
         """,
         "label_centroids_topk": """
             SELECT label, COUNT(*) AS n_members, MIN(vec_id) AS min_vec

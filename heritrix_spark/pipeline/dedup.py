@@ -13,8 +13,15 @@ analog of the URL-seen filter (Heritrix ``HTTPContentDigest`` +
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def default_hash(c: Column) -> Column:
+    """xxhash64 — the engine-native permutation hash (JVM-side)."""
+    return F.xxhash64(c)
 
 
 def exact_groups(df: DataFrame, id_col: str = "doc_id",
@@ -50,28 +57,33 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 16, n: int = 3,
-                       id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """MinHash over word n-gram shingles: ``num_hashes`` xxhash64
-    permutations (seeded by salt prefix), one aggregation pass."""
+                       id_col: str = "doc_id", text_col: str = "text",
+                       hash_fn: Callable[[Column], Column] = default_hash,
+                       ) -> DataFrame:
+    """MinHash over word n-gram shingles: ``num_hashes`` permutations
+    (``hash_fn`` seeded by salt prefix — xxhash64 by default; any
+    deterministic orderable hash works, e.g. md5 for cross-engine
+    verification), one aggregation pass."""
     sh = shingles(df, n, id_col, text_col)
-    aggs = [F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
+    aggs = [F.min(hash_fn(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
             .alias(f"mh{i}") for i in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                         n: int = 3, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        hash_fn: Callable[[Column], Column] = default_hash,
+                        ) -> DataFrame:
     """MinHash-LSH banding: docs sharing any band bucket become candidate
     pairs.  The self-join is keyed on short band hashes — the only shuffle
     over pairs is within buckets, which is what keeps this sub-quadratic
     at corpus scale."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, hash_fn)
     band_cols = [
         F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.concat_ws(
+                 hash_fn(F.concat_ws(
                      ":", *[F.col(f"mh{b * rows_per_band + r}")
                             for r in range(rows_per_band)])).alias("bucket"))
         for b in range(bands)]
@@ -102,20 +114,23 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, n: int = 3,
     j = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size(F.array_union("set_a", "set_b"))
-    return j.select("id_a", "id_b",
+    return j.select("id_a", "id_b", inter.alias("n_inter"),
+                    union.alias("n_union"),
                     (inter / union).alias("jaccard"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text", bits: int = 64) -> DataFrame:
+            text_col: str = "text", bits: int = 64,
+            hash_fn: Callable[[Column], Column] = default_hash) -> DataFrame:
     """SimHash: per-bit majority vote over word hashes, built-in only.
 
-    Explodes words, computes xxhash64 per word, then for each bit position
-    sums +1/-1 votes; the sign vector packs into a LongType fingerprint.
+    Explodes words, computes ``hash_fn`` (default xxhash64) per word, then
+    for each bit position sums +1/-1 votes; the sign vector packs into a
+    LongType fingerprint.
     """
     words = df.select(id_col,
                       F.explode(_words(text_col)).alias("w"))
-    h = F.xxhash64(F.col("w"))
+    h = hash_fn(F.col("w"))
     votes = [F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
                           F.lit(1)).otherwise(F.lit(-1))).alias(f"v{i}")
              for i in range(bits)]

@@ -54,34 +54,44 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a
-    composite score in [0, 1] (filter-threshold ready)."""
+    composite score (filter-threshold ready).
+
+    The score conditions are evaluated in exact integer arithmetic
+    (``5*n_punct <= n_chars`` instead of ``punct_ratio <= 0.2`` etc.), so
+    ``quality_score_pct`` is an integer that is bit-identical across
+    engines; the float ratio columns are convenience outputs only.
+    """
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tok = token_count(t)
     n_punct = F.length(F.regexp_replace(t, r"[^!?.,;:]", ""))
     n_stop = stopword_counts(t)["en"]
-    mean_word = (n_chars / F.greatest(n_tok, F.lit(1)))
-    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
-    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
-    score = (
-        F.when((n_tok >= 10) & (n_tok <= 100_000), F.lit(0.4))
-        .otherwise(F.lit(0.0))
-        + F.when((mean_word >= 3) & (mean_word <= 12), F.lit(0.2))
-        .otherwise(F.lit(0.0))
-        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio >= 0.02, F.lit(0.2)).otherwise(F.lit(0.0)))
+    score_pct = (
+        F.when((n_tok >= 10) & (n_tok <= 100_000), F.lit(40)).otherwise(0)
+        # 3 <= mean word length <= 12  ⇔  3*n_tok <= n_chars <= 12*n_tok
+        + F.when((n_chars >= 3 * n_tok) & (n_chars <= 12 * n_tok),
+                 F.lit(20)).otherwise(0)
+        # punct_ratio <= 0.2  ⇔  5*n_punct <= n_chars
+        + F.when(5 * n_punct <= n_chars, F.lit(20)).otherwise(0)
+        # stop_ratio >= 0.02  ⇔  50*n_stop >= n_tok
+        + F.when(50 * n_stop >= n_tok, F.lit(20)).otherwise(0))
     return (df.withColumn("n_chars", n_chars)
             .withColumn("n_tokens", n_tok)
-            .withColumn("punct_ratio", punct_ratio)
-            .withColumn("stopword_ratio", stop_ratio)
-            .withColumn("quality_score", score))
+            .withColumn("n_punct", n_punct)
+            .withColumn("n_stopwords", n_stop)
+            .withColumn("punct_ratio",
+                        n_punct / F.greatest(n_chars, F.lit(1)))
+            .withColumn("stopword_ratio",
+                        n_stop / F.greatest(n_tok, F.lit(1)))
+            .withColumn("quality_score_pct", score_pct.cast("int")))
 
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text",
-                        window: int = 64) -> DataFrame:
-    """Document fingerprint: xxhash64 over the normalized head window —
-    the cheap pre-cluster key for near-dup pipelines (a rolling-hash
-    shingle generalization lives in pipeline.dedup.shingles)."""
+                        window: int = 64, hash_fn=None) -> DataFrame:
+    """Document fingerprint: xxhash64 (or ``hash_fn``) over the normalized
+    head window — the cheap pre-cluster key for near-dup pipelines (a
+    rolling-hash shingle generalization lives in pipeline.dedup.shingles)."""
     norm = F.regexp_replace(F.lower(F.substring(F.col(text_col), 1, window)),
                             r"[^a-z0-9]", "")
-    return df.withColumn("fingerprint", F.xxhash64(norm))
+    return df.withColumn(
+        "fingerprint", F.xxhash64(norm) if hash_fn is None else hash_fn(norm))

@@ -79,6 +79,7 @@ from heritrix_spark.functions.canonicalize import (
 from heritrix_spark.functions.cost import POLICIES_EXPR
 from heritrix_spark.operators import robots as R
 from heritrix_spark.operators.extract import image_id_expr, outlinks_of
+from heritrix_spark.operators.schedule import top_k_per_queue
 from heritrix_spark.operators.scope import scope_accepts_expr
 from heritrix_spark.sources.catalog import SnapshotCatalog
 
@@ -491,28 +492,18 @@ class CrawlJob:
         elig = self.frontier.join(F.broadcast(qdf), "class_key")
         elig = elig.where(F.col("earliest_ts")
                           <= F.greatest(F.col("wake_ts"), F.lit(now)))
-        # Hot-host skew defusal (north_star: explicit salting): phase 1
-        # ranks within (class_key, salt) and keeps the per-salt top
-        # burst_max — the rank<=k filter sits directly on the row_number
-        # column so Spark rewrites it into WindowGroupLimit (bounded
-        # per-partition top-k, no unbounded sort of a Zipf-head queue).
-        # Phase 2 then runs the exact composite-key window over the
-        # <= salt*burst_max survivors per queue.  Output is identical to
-        # the unsalted window (any global-top-k row is in its salt's
-        # top-k); only the physical shape changes.
-        if cfg.partition_salt > 1:
-            w1 = Window.partitionBy("class_key", "_salt").orderBy(
-                "directive", "cost", "ordinal")
-            elig = (elig.withColumn(
-                        "_salt", F.pmod(F.col("url_fp"),
-                                        F.lit(cfg.partition_salt)))
-                    .withColumn("_srn", F.row_number().over(w1))
-                    .where(F.col("_srn") <= cfg.burst_max)
-                    .drop("_srn", "_salt"))
+        # Hot-host skew defusal (north_star: explicit salting): two-phase
+        # salted top-k with WindowGroupLimit pushdown — a Zipf-head queue
+        # costs partition_salt bounded heaps across partition_salt shuffle
+        # partitions, never one unbounded single-task sort.  See
+        # operators/schedule.py for the physical-shape contract.
         w = Window.partitionBy("class_key").orderBy(
             "directive", "cost", "ordinal")
-        a = (elig.withColumn("_rn", F.row_number().over(w))
-             .where(F.col("_rn") <= cfg.burst_max)
+        a = (top_k_per_queue(
+                elig, ["class_key"],
+                [F.col("directive"), F.col("cost"), F.col("ordinal")],
+                cfg.burst_max, rank_col="_rn", salt_col="url_fp",
+                salt_count=cfg.partition_salt)
              .withColumn("_rn", F.col("_rn") - 1))
 
         b = R.join_rules(a, self.rules)

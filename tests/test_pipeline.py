@@ -105,7 +105,7 @@ def test_text_ops(spark, docs):
     assert by_id[0]["lang_guess"] == "en"
     assert by_id[4]["lang_guess"] == "de"
     assert by_id[5]["lang_guess"] == "unknown"
-    assert by_id[0]["quality_score"] > by_id[5]["quality_score"]
+    assert by_id[0]["quality_score_pct"] > by_id[5]["quality_score_pct"]
     toks = docs.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n"),
