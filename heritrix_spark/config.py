@@ -75,6 +75,9 @@ S_NOT_FOUND = 404
 S_RETRY = 503
 S_ROBOTS_PRECLUDED = -9998
 S_TOO_MANY_RETRIES = -6
+# QuotaEnforcer verdict (value engine-normative pending reconciliation
+# with FetchStatusCodes.java).
+S_BLOCKED_BY_QUOTA = -5003
 
 # Lineage / RecoveryJournal event tags.
 EV_SCHEDULED = "F+"
@@ -109,6 +112,16 @@ class CrawlConfig:
     balance_replenish: int = 3000
     error_penalty: int = 100
     total_budget: int = -1  # -1 = unlimited (queue never retired)
+    # QuotaEnforcer (P3) per-host quotas, -1 = unlimited.  When a host
+    # crosses max_successes_per_host (successful REAL fetches) or
+    # max_fetches_per_host (real fetch responses, any status), further
+    # items are disposed S_BLOCKED_BY_QUOTA (disregarded, 0 virtual ms)
+    # and the queue is retired after the burst — the set-based image of
+    # Heritrix disregarding every subsequent dequeue from an over-quota
+    # host.  (Byte quotas are a checkpoint-time report query here: payload
+    # bytes only exist after the fetched-table join, by design.)
+    max_successes_per_host: int = -1
+    max_fetches_per_host: int = -1
     burst_max: int = 64
     window_ms: int = 60_000
     # Hot-host skew defusal (north_star: explicit salting).  The burst
@@ -122,6 +135,19 @@ class CrawlConfig:
     # its frontier rows are spread over partition_salt shuffle partitions.
     # 1 disables phase 1 (exact output is identical either way).
     partition_salt: int = 16
+    # Broadcast bloom URL-seen prefilter (BloomUriUniqFilter analog —
+    # north_star).  Once the seen set exceeds bloom_min_seen rows, the
+    # engine builds a bloom_bits-bit bitmap executor-side, broadcasts it,
+    # and routes only bloom-positive candidates through the exact
+    # anti-join; bloom-negative candidates are provably unseen and skip
+    # it.  Output is ALWAYS exact (the bloom's false positives merely add
+    # anti-join input; Heritrix's BloomUriUniqFilter silently drops on
+    # false positives, which the north_rule forbids — prefilter-only is
+    # the documented deviation).  The bitmap is maintained incrementally
+    # from each superstep's discoveries.
+    use_bloom_prefilter: bool = True
+    bloom_min_seen: int = 100_000
+    bloom_bits: int = 1 << 23
     cost_policy: str = "unit"  # unit | wag | anticalendar
     honor_crawl_delay: bool = False  # engine superset mode (SURVEY §2.H R3)
     # Scope (DecideRule fold)
@@ -130,6 +156,18 @@ class CrawlConfig:
     max_path_segments: int = 20
     pathological_repeats: int = 2
     surt_prefixes: tuple[str, ...] = field(default=())  # empty = broad scope
+    # OnHostsDecideRule / OnDomainsDecideRule (S5): additional ACCEPT
+    # membership sets alongside the SURT-prefix scope — a URL is in scope
+    # if its host is in on_hosts, or its host equals / is a subdomain of
+    # an entry in on_domains, or its SURT has a prefix in surt_prefixes.
+    # All three empty = broad scope.
+    on_hosts: tuple[str, ...] = field(default=())
+    on_domains: tuple[str, ...] = field(default=())
+    # MatchesRegExpDecideRule (S6): reject_regex REJECTs matching URLs
+    # (trap filters); accept_regex, when set, REJECTs non-matching URLs
+    # (URIRegExpFilter include mode).  Prerequisites bypass both.
+    reject_regex: str | None = None
+    accept_regex: str | None = None
     max_steps: int = 10_000
 
     def politeness_ms(self, fetch_ms: int, crawl_delay_ms: int = 0) -> int:

@@ -82,6 +82,91 @@ def variant_expr(url: Column, k: Column, j: Column) -> Column:
     return F.when(F.pmod(v, F.lit(VARIANT_MOD)) == 0, decorated).otherwise(url)
 
 
+_ABS_RE = r"(?i)^[a-z][a-z0-9+.\-]*:"
+# attribute extraction patterns (Java regex, used via regexp_extract_all)
+_A_HREF_RE = r"(?i)<(?:a|area)\s[^>]*?href\s*=\s*[\"']([^\"'#>][^\"'>]*)"
+_FORM_ACTION_RE = r"(?i)<form\s[^>]*?action\s*=\s*[\"']([^\"'#>][^\"'>]*)"
+_SRC_RE = (r"(?i)<(?:img|script|iframe|frame|embed|source|input|audio|video)"
+           r"\s[^>]*?src\s*=\s*[\"']([^\"'#>][^\"'>]*)")
+_LINK_HREF_RE = r"(?i)<link\s[^>]*?href\s*=\s*[\"']([^\"'#>][^\"'>]*)"
+_BACKGROUND_RE = r"(?i)\sbackground\s*=\s*[\"']([^\"'#>][^\"'>]*)"
+_BASE_RE = r"(?i)<base\s[^>]*?href\s*=\s*[\"']([^\"'>]+)"
+_META_NOFOLLOW_RE = (r"(?i)<meta\s[^>]*?name\s*=\s*[\"']?robots[^>]*?"
+                     r"nofollow")
+_SCRIPT_URL_RE = r"[\"'](https?://[^\"'\s<>]+)[\"']"
+
+
+def _resolve_expr(base: Column):
+    """RFC-3986-lite reference resolution as a lambda over link strings:
+    absolute → as-is; ``//host/…`` → base scheme; ``/path`` → base
+    authority root; relative → base directory."""
+    scheme = F.regexp_extract(base, r"(?i)^([a-z][a-z0-9+.\-]*):", 1)
+    root = F.regexp_extract(base, r"(?i)^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1)
+    # directory of the base: strip after last '/' past the authority
+    dirp = F.when(
+        F.regexp_extract(base, r"(?i)^[a-z][a-z0-9+.\-]*://[^/?#]*(/.*)$",
+                         1) == "",
+        F.concat(root, F.lit("/"))
+    ).otherwise(F.regexp_replace(base, r"[^/]*$", ""))
+
+    def resolve(u: Column) -> Column:
+        return (
+            F.when(u.rlike(_ABS_RE), u)
+            .when(u.startswith("//"), F.concat(scheme, F.lit(":"), u))
+            .when(u.startswith("/"), F.concat(root, u))
+            .otherwise(F.concat(dirp, u)))
+
+    return resolve
+
+
+def outlinks_html(fetched: DataFrame, url_col: str = "url",
+                  html_col: str = "html",
+                  hops_col: str = "hops_path") -> DataFrame:
+    """Real-HTML extractor (ExtractorHTML regex semantics) — the
+    swap-in variant of :func:`outlinks_of` with the same output schema
+    (``via``, ``link_idx``, ``url``, ``hop``, ``hops_path``).
+
+    All JVM-side: ``regexp_extract_all`` per attribute class, base-href
+    handling, meta-robots-nofollow honoring, higher-order ``transform``
+    for reference resolution, one ``posexplode``.  Hop types per
+    ``extractor/Link.java``: a/area href + form action → L navlink,
+    src/link-href/background → E embed, quoted absolute URLs inside
+    <script> bodies → X speculative."""
+    base = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(html_col), _BASE_RE, 1), F.lit("")),
+        F.col(url_col))
+    resolve = _resolve_expr(base)
+    nofollow = F.col(html_col).rlike(_META_NOFOLLOW_RE)
+
+    def tagged(pat: str, hop: str) -> Column:
+        urls = F.regexp_extract_all(F.col(html_col), F.lit(pat), 1)
+        return F.transform(urls, lambda u: F.struct(
+            resolve(u).alias("u"), F.lit(hop).alias("hop")))
+
+    nav = F.concat(tagged(_A_HREF_RE, "L"), tagged(_FORM_ACTION_RE, "L"))
+    nav = F.filter(nav, lambda _: ~nofollow)  # meta-robots nofollow
+    emb = F.concat(tagged(_SRC_RE, "E"), tagged(_LINK_HREF_RE, "E"),
+                   tagged(_BACKGROUND_RE, "E"))
+    scripts = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)<script[^>]*>(.*?)</script>"), 1)
+    spec_urls = F.flatten(F.transform(
+        scripts, lambda s: F.regexp_extract_all(
+            s, F.lit(_SCRIPT_URL_RE), 1)))
+    spec = F.transform(spec_urls, lambda u: F.struct(
+        u.alias("u"), F.lit("X").alias("hop")))
+    links = F.concat(nav, emb, spec)
+    # links references url_col/html_col — explode BEFORE renaming them.
+    df = (fetched
+          .select("*", F.posexplode(links).alias("link_idx", "_l"))
+          .withColumnRenamed(url_col, "via")
+          .withColumnRenamed(hops_col, "parent_hops"))
+    return (df.withColumn("url", F.col("_l.u"))
+            .withColumn("hop", F.col("_l.hop"))
+            .withColumn("hops_path",
+                        F.concat(F.col("parent_hops"), F.col("hop")))
+            .drop("_l", "parent_hops", html_col))
+
+
 def outlinks_of(fetched: DataFrame, spec: FixtureSpec) -> DataFrame:
     """Explode fetched pages into candidate links.
 

@@ -31,6 +31,61 @@ from pyspark.sql import types as T
 
 from heritrix_spark.functions.fingerprint import hash_str_py, url_fp_expr
 
+BLOOM_K = 4
+
+
+def bloom_positions_expr(fp, m: int) -> list:
+    """k bit positions per fingerprint — JVM-side exprs; the Python mirror
+    is :func:`bloom_positions_py` (same xxhash64 derivation)."""
+    return [F.pmod(F.xxhash64(F.concat_ws(
+        ":", F.lit(str(i)), fp.cast("string"))), F.lit(m))
+        for i in range(BLOOM_K)]
+
+
+def bloom_positions_py(fp: int, m: int) -> list[int]:
+    return [hash_str_py(str(i), str(int(fp))) % m for i in range(BLOOM_K)]
+
+
+def build_bloom_bits(df: DataFrame, fp_col: str, m: int) -> np.ndarray:
+    """Build the m-bit bloom bitmap executor-side: positions are computed
+    by JVM exprs, each Arrow batch folds into a local numpy bitmap, and
+    the driver collects one packed ``m/8``-byte blob per partition and ORs
+    them — never the raw position rows (round-1 fix: the old path
+    collected up to m rows and probed with per-row Python)."""
+    pos = df.select(F.explode(F.array(
+        *bloom_positions_expr(F.col(fp_col), m))).alias("p"))
+
+    def to_bitmap(batches):
+        bits = np.zeros(m, dtype=bool)
+        seen_any = False
+        for pdf in batches:
+            if len(pdf):
+                seen_any = True
+                bits[pdf["p"].to_numpy(dtype=np.int64)] = True
+        if seen_any:
+            yield pd.DataFrame({"b": [np.packbits(bits).tobytes()]})
+
+    packed = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for r in pos.mapInPandas(to_bitmap, "b binary").collect():
+        packed |= np.frombuffer(r["b"], dtype=np.uint8)
+    return np.unpackbits(packed)[:m].astype(bool)
+
+
+def make_might_contain_udf(spark, bits: np.ndarray):
+    """Vectorized bloom probe: positions arrive as JVM-computed columns;
+    the UDF is pure numpy fancy-indexing over the broadcast bitmap."""
+    b = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf(T.BooleanType())
+    def might_contain(*pos_cols: pd.Series) -> pd.Series:
+        blm = b.value
+        out = np.ones(len(pos_cols[0]), dtype=bool)
+        for pc in pos_cols:
+            out &= blm[pc.to_numpy(dtype=np.int64)]
+        return pd.Series(out)
+
+    return might_contain
+
 
 def with_fp(df: DataFrame, canon_col: str = "canon_url") -> DataFrame:
     return df.withColumn("url_fp", url_fp_expr(F.col(canon_col)))
@@ -67,50 +122,45 @@ class SeenFilter:
         self.use_bloom = use_bloom
         self.bloom_expected = bloom_expected
         self.bloom_fpp = bloom_fpp
+        self._bits: np.ndarray | None = None  # cached bloom bitmap
 
     def count(self) -> int:
         return self.seen.count()
 
-    _BLOOM_K = 4
-
-    def _bloom_positions(self, fp, m: int):
-        """k bit positions per fingerprint — same xxhash64 derivation in
-        the JVM build path and the Python probe path."""
-        return [F.pmod(F.xxhash64(F.concat_ws(
-            ":", F.lit(str(i)), fp.cast("string"))), F.lit(m))
-            for i in range(self._BLOOM_K)]
+    def _bloom_m(self) -> int:
+        n = max(self.bloom_expected, 1024)
+        return max(1 << math.ceil(math.log2(
+            -n * math.log(self.bloom_fpp) / (math.log(2) ** 2))), 1024)
 
     def _split_by_bloom(self, batch: DataFrame):
         """(maybe_seen, definitely_new) according to the bloom prefilter.
 
-        The bit array is built with one JVM-side distinct-positions pass
-        over the seen fingerprints (PySpark 4 no longer exposes
-        df.stat.bloomFilter) and broadcast as a numpy bool array; the
-        probe is an Arrow-batched pandas UDF using the bit-exact Python
-        xxhash64 mirror.
+        The bitmap is built executor-side (``build_bloom_bits``: Arrow
+        batches fold to packed bytes, the driver ORs one blob per
+        partition) and cached across calls; batches of newly-seen
+        fingerprints extend it incrementally via the bit-exact Python
+        xxhash64 mirror.  The probe's bit positions are computed by the
+        SAME JVM exprs as the build and checked with numpy
+        fancy-indexing — no per-row Python anywhere.
         """
-        n = max(self.bloom_expected, 1024)
-        m = max(1 << math.ceil(math.log2(
-            -n * math.log(self.bloom_fpp) / (math.log(2) ** 2))), 1024)
-        pos_rows = (self.seen.select(F.explode(F.array(
-            *self._bloom_positions(F.col("url_fp"), m))).alias("p"))
-            .distinct().collect())
-        bits = np.zeros(m, dtype=bool)
-        bits[[r["p"] for r in pos_rows]] = True
-        b = self.spark.sparkContext.broadcast(bits)
-        k = self._BLOOM_K
-
-        @F.pandas_udf(T.BooleanType())
-        def might_contain(fps: pd.Series) -> pd.Series:
-            blm = b.value
-            mm = len(blm)
-            return fps.map(lambda v: all(
-                blm[hash_str_py(str(i), str(int(v))) % mm]
-                for i in range(k)))
-
-        flagged = batch.withColumn("_maybe", might_contain(F.col("url_fp")))
+        m = self._bloom_m()
+        if self._bits is None:
+            self._bits = build_bloom_bits(self.seen, "url_fp", m)
+        udf = make_might_contain_udf(self.spark, self._bits)
+        flagged = batch.withColumn(
+            "_maybe", udf(*bloom_positions_expr(F.col("url_fp"), m)))
         return (flagged.where(F.col("_maybe")).drop("_maybe"),
                 flagged.where(~F.col("_maybe")).drop("_maybe"))
+
+    def note_fps(self, fps) -> None:
+        """Extend the cached bloom bitmap with newly-seen fingerprints
+        (driver-side mirror hashing — intended for small per-step deltas;
+        the executor-side build handles bulk)."""
+        if self._bits is None:
+            return
+        m = len(self._bits)
+        for fp in fps:
+            self._bits[bloom_positions_py(int(fp), m)] = True
 
     def filter_unseen(self, batch: DataFrame,
                       canon_col: str = "canon_url") -> DataFrame:
@@ -122,22 +172,30 @@ class SeenFilter:
             return new.unionByName(verified)
         return batch.join(self.seen.select(canon_col), canon_col, "left_anti")
 
+    def _note_seen(self, fresh: DataFrame, canon_col: str) -> None:
+        self.seen = self.seen.unionByName(
+            fresh.select("url_fp", canon_col)).localCheckpoint()
+        if self.use_bloom and self._bits is not None:
+            self.note_fps(
+                r["url_fp"] for r in fresh.select("url_fp").collect())
+
     def add_batch(self, batch: DataFrame,
                   canon_col: str = "canon_url") -> DataFrame:
         """UriUniqFilter.add — emit unseen survivors and mark them seen."""
         fresh = self.filter_unseen(batch, canon_col).localCheckpoint()
-        self.seen = self.seen.unionByName(
-            fresh.select("url_fp", canon_col)).localCheckpoint()
+        self._note_seen(fresh, canon_col)
         return fresh
 
     def note_batch(self, batch: DataFrame,
                    canon_col: str = "canon_url") -> None:
         """UriUniqFilter.note — mark seen without emitting (replay)."""
-        fresh = self.filter_unseen(batch, canon_col)
-        self.seen = self.seen.unionByName(
-            fresh.select("url_fp", canon_col)).localCheckpoint()
+        fresh = self.filter_unseen(batch, canon_col).localCheckpoint()
+        self._note_seen(fresh, canon_col)
 
     def forget(self, canon_urls: list[str]) -> None:
+        """UriUniqFilter.forget.  The bloom bitmap is left as-is: a stale
+        bit only routes the fingerprint through the exact anti-join, which
+        no longer contains it — prefilter staleness is always safe."""
         gone = self.spark.createDataFrame(
             [(u,) for u in canon_urls], "canon_url string")
         self.seen = self.seen.join(gone, "canon_url",

@@ -60,6 +60,8 @@ class Queue:
     expenditure: int = 0
     retired: bool = False
     next_ordinal: int = 0
+    successes: int = 0  # real-fetch 200s (QuotaEnforcer counter)
+    fetches: int = 0  # real-fetch responses, any status
     items: list[Item] = field(default_factory=list)
 
 
@@ -189,11 +191,24 @@ class HeritrixSim:
                 if rn >= cfg.burst_max or s >= horizon or charged >= q.balance:
                     break
                 status = self._status(item)
-                if status == C.S_ROBOTS_PRECLUDED:
+                # QuotaEnforcer (P3): runs after the robots verdict; an
+                # over-quota host's real items are disregarded unfetched.
+                if (item.kind == C.KIND_REAL
+                        and status != C.S_ROBOTS_PRECLUDED
+                        and ((0 <= cfg.max_successes_per_host
+                              <= q.successes)
+                             or (0 <= cfg.max_fetches_per_host
+                                 <= q.fetches))):
+                    status = C.S_BLOCKED_BY_QUOTA
+                if status in (C.S_ROBOTS_PRECLUDED, C.S_BLOCKED_BY_QUOTA):
                     fetch_start = fetch_end = s
                     event = C.EV_DISREGARD
                     done.append(item)
                 else:
+                    if item.kind == C.KIND_REAL:
+                        q.fetches += 1
+                        if status == C.S_OK:
+                            q.successes += 1
                     fetch_ms = C.fetch_ms_of(item.fp, item.kind)
                     delay = cfg.politeness_ms(
                         fetch_ms, self.delays.get(q.class_key, 0))
@@ -238,6 +253,9 @@ class HeritrixSim:
                 q.balance = cfg.balance_replenish
             if 0 <= cfg.total_budget <= q.expenditure:
                 q.retired = True
+            if (0 <= cfg.max_successes_per_host <= q.successes
+                    or 0 <= cfg.max_fetches_per_host <= q.fetches):
+                q.retired = True  # quota exhausted — queue retired
         for url, hops, via, ts in candidates:
             self.schedule(url, hops, via, False, C.NORMAL, ts)
 

@@ -70,15 +70,32 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16, n: int = 3,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def cap_buckets(exploded: DataFrame, key_cols: list[str], id_col: str,
+                max_bucket: int | None) -> DataFrame:
+    """Bound bucket membership before a bucket self-join.  A degenerate
+    bucket of B members yields B² pairs in ONE join partition — at corpus
+    scale a near-identical document slab turns sub-quadratic LSH back
+    into O(n²).  Rows ranked past ``max_bucket`` (by id, deterministic)
+    are excluded from pairing; such slabs are exact-dup territory and
+    should be collapsed by ``drop_exact_dups`` first.  NOT silent: capped
+    buckets keep their first ``max_bucket`` members, so every capped
+    bucket still emits pairs and shows up in downstream verification."""
+    if not max_bucket:
+        return exploded
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    return (exploded.withColumn("_bn", F.row_number().over(w))
+            .where(F.col("_bn") <= max_bucket).drop("_bn"))
+
+
 def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                         n: int = 3, id_col: str = "doc_id",
                         text_col: str = "text",
                         hash_fn: Callable[[Column], Column] = default_hash,
-                        ) -> DataFrame:
+                        max_bucket: int | None = 2000) -> DataFrame:
     """MinHash-LSH banding: docs sharing any band bucket become candidate
     pairs.  The self-join is keyed on short band hashes — the only shuffle
-    over pairs is within buckets, which is what keeps this sub-quadratic
-    at corpus scale."""
+    over pairs is within buckets (bounded by ``max_bucket``), which is
+    what keeps this sub-quadratic at corpus scale."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, hash_fn)
     band_cols = [
@@ -91,6 +108,7 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    exploded = cap_buckets(exploded, ["band", "bucket"], id_col, max_bucket)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (a.join(b, ["band", "bucket"])
@@ -146,10 +164,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_bucket: int | None = 2000) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (any chunk
     equal → candidate; with ≤3 differing bits at least one chunk matches
-    by pigeonhole), verify Hamming distance with bit_count."""
+    by pigeonhole), verify Hamming distance with bit_count.  Chunk
+    buckets are bounded by ``max_bucket`` (see :func:`cap_buckets`)."""
     sh = simhash(df, id_col, text_col)
     chunk_cols = [F.struct(
         F.lit(i).alias("chunk"),
@@ -160,6 +180,7 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
                   ).select(id_col, "simhash",
                            F.col("c.chunk").alias("chunk"),
                            F.col("c.key").alias("key"))
+    e = cap_buckets(e, ["chunk", "key"], id_col, max_bucket)
     a, b = e.alias("a"), e.alias("b")
     pairs = (a.join(b, ["chunk", "key"])
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

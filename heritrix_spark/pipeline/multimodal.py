@@ -41,18 +41,24 @@ def image_features(images: DataFrame) -> DataFrame:
     only scalar features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Decode is inherently per-image; the batch loop iterates plain
+        # numpy/object arrays (zip), never pandas row objects, and the
+        # per-image math is vectorized numpy.
+        def one(image_id, data, fmt):
+            try:
+                px = _decode_one(bytes(data))
+                m = px.reshape(-1, 3).mean(axis=0)
+                return (image_id, px.shape[1], px.shape[0], fmt,
+                        float(m[0]), float(m[1]), float(m[2]),
+                        imagecodec.phash(px), True)
+            except Exception:
+                return (image_id, None, None, fmt,
+                        None, None, None, None, False)
+
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                try:
-                    px = _decode_one(bytes(r["bytes"]))
-                    m = px.reshape(-1, 3).mean(axis=0)
-                    out.append((r["image_id"], px.shape[1], px.shape[0],
-                                r["fmt"], float(m[0]), float(m[1]),
-                                float(m[2]), imagecodec.phash(px), True))
-                except Exception:
-                    out.append((r["image_id"], None, None, r["fmt"],
-                                None, None, None, None, False))
+            out = [one(i, d, f) for i, d, f in
+                   zip(pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(),
+                       pdf["fmt"].to_numpy())]
             yield pd.DataFrame(out, columns=[
                 "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
                 "phash", "decode_ok"])
@@ -65,21 +71,22 @@ def thumbnails(images: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
     """Resize via block mean (pure numpy) → re-encoded engine-codec bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(image_id, data):
+            px = _decode_one(bytes(data))
+            h, w, _ = px.shape
+            ys = (np.arange(th + 1) * h) // th
+            xs = (np.arange(tw + 1) * w) // tw
+            tiny = np.zeros((th, tw, 3), dtype=np.uint8)
+            for i in range(th):
+                for j in range(tw):
+                    tiny[i, j] = px[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                    xs[j]:max(xs[j + 1], xs[j] + 1)
+                                    ].reshape(-1, 3).mean(axis=0)
+            return (image_id, tw, th, imagecodec.encode(tiny, "png"))
+
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                px = _decode_one(bytes(r["bytes"]))
-                h, w, _ = px.shape
-                ys = (np.arange(th + 1) * h) // th
-                xs = (np.arange(tw + 1) * w) // tw
-                tiny = np.zeros((th, tw, 3), dtype=np.uint8)
-                for i in range(th):
-                    for j in range(tw):
-                        tiny[i, j] = px[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                        xs[j]:max(xs[j + 1], xs[j] + 1)
-                                        ].reshape(-1, 3).mean(axis=0)
-                out.append((r["image_id"], tw, th,
-                            imagecodec.encode(tiny, "png")))
+            out = [one(i, d) for i, d in
+                   zip(pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy())]
             yield pd.DataFrame(out, columns=["image_id", "tw", "th",
                                              "thumb"])
 
@@ -88,10 +95,15 @@ def thumbnails(images: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
 
 
 def phash_near_dup_pairs(features: DataFrame,
-                         max_hamming: int = 6) -> DataFrame:
+                         max_hamming: int = 6,
+                         max_bucket: int | None = 2000) -> DataFrame:
     """Near-duplicate images by perceptual-hash Hamming distance, blocked
     on 16-bit phash chunks (pigeonhole: ≤6 differing bits over 4 chunks →
-    at least one chunk equal) — the image-side MinHash-LSH analog."""
+    at least one chunk equal) — the image-side MinHash-LSH analog.
+    Chunk buckets are bounded by ``max_bucket`` (degenerate-bucket O(B²)
+    guard, see pipeline.dedup.cap_buckets)."""
+    from heritrix_spark.pipeline.dedup import cap_buckets
+
     chunk_cols = [F.struct(
         F.lit(i).alias("chunk"),
         F.shiftrightunsigned("phash", i * 16)
@@ -101,6 +113,7 @@ def phash_near_dup_pairs(features: DataFrame,
                         ).select("image_id", "phash",
                                  F.col("c.chunk").alias("chunk"),
                                  F.col("c.key").alias("key"))
+    e = cap_buckets(e, ["chunk", "key"], "image_id", max_bucket)
     a, b = e.alias("a"), e.alias("b")
     pairs = (a.join(b, ["chunk", "key"])
              .where(F.col("a.image_id") < F.col("b.image_id"))

@@ -84,6 +84,37 @@ def knn_lsh(df: DataFrame, query: DataFrame, planes: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def ivf_train(df: DataFrame, k: int = 16, iters: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Train IVF coarse centroids with Lloyd's iterations, fully as
+    DataFrame ops: assign = broadcast-centroid argmax (ivf_assign), update
+    = per-(cell, dimension) mean via posexplode + groupBy — no vectors
+    ever collect to the driver; the centroid table (k × dim doubles) is
+    the only small state, localCheckpointed per iteration to bound plan
+    depth.  Deterministic: seeds are the first k vectors by id."""
+    w = Window.orderBy(id_col)
+    cent = (df.orderBy(id_col).limit(k)
+            .withColumn("cell_id", F.row_number().over(w) - 1)
+            .select("cell_id",
+                    F.transform(F.col(vec_col),
+                                lambda x: x.cast("double"))
+                    .alias("centroid"))
+            .localCheckpoint())
+    for _ in range(iters):
+        assigned = ivf_assign(df, cent, id_col, vec_col)
+        dims = assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        means = (dims.groupBy("cell", "pos")
+                 .agg(F.avg(F.col("v").cast("double")).alias("m")))
+        cent = (means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("centroid"))
+            .select(F.col("cell").alias("cell_id"), "centroid")
+            .localCheckpoint())
+    return cent
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: nearest broadcast centroid per vector.

@@ -20,9 +20,10 @@ Spark jobs and ONE driver collect per step):
              (rank<=k filters rewritten to map-side + final
              WindowGroupLimit — Zipf-head queues cost bounded top-k,
              never an unbounded sort) → robots verdict (broadcast rules,
-             longest-prefix HOF expr) → image-existence (broadcast id
-             set) → running sums of virtual time + budget charge →
-             prefix-closed include predicate
+             longest-prefix HOF expr) → image-existence (once-built
+             sorted-id Arrow probe; broadcast join for small corpora) →
+             quota verdict → running sums of virtual time + budget
+             charge → prefix-closed include predicate
     sel    = localCheckpoint(burst rows)            [job 1]
     links  = outlinks_of(sel 200s) → scope fold → intra-batch dedup
              (window) → anti-join seen ON url_fp → per-queue ordinals
@@ -52,17 +53,26 @@ Scale notes (10^10 design scale): the hot-host window is bounded by
 pushdown — a Zipf-head queue costs ``partition_salt`` bounded top-k heaps
 spread over ``partition_salt`` shuffle partitions, never one unbounded
 single-task sort; candidate batches are bounded by
-burst × out-degree; the images existence probe broadcasts only the id
-column; payload bytes join only the selected 200-rows; the seen anti-join
-gets Spark's AQE runtime-bloom prefilter (session.py) — the bloom is a
-prefilter only, the exact join is normative (BloomUriUniqFilter's silent
-false-positive drops are exactly what the north_rule forbids).
+burst × out-degree; the images existence probe is a once-built sorted id
+array probed by an Arrow UDF (a per-step broadcast hash build would be a
+serial stage per superstep); payload bytes join only the selected
+200-rows; the seen anti-join gets an explicit broadcast-bloom prefilter
+once the set passes ``bloom_min_seen`` (plus Spark's AQE runtime bloom,
+session.py) — blooms are prefilters only, the exact join is normative
+(BloomUriUniqFilter's silent false-positive drops are exactly what the
+north_rule forbids).
 """
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 import pandas as pd
+
+# SPARK_GRAFT_TRACE=1 prints per-superstep phase wall times (perf triage).
+_TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") not in ("", "0")
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -77,7 +87,9 @@ from heritrix_spark.functions.canonicalize import (
     path_expr,
 )
 from heritrix_spark.functions.cost import POLICIES_EXPR
+from heritrix_spark.functions.fingerprint import url_fp_py
 from heritrix_spark.operators import robots as R
+from heritrix_spark.operators import uniq as U
 from heritrix_spark.operators.extract import image_id_expr, outlinks_of
 from heritrix_spark.operators.schedule import top_k_per_queue
 from heritrix_spark.operators.scope import scope_accepts_expr
@@ -97,14 +109,18 @@ FRONTIER_SCHEMA = T.StructType([T.StructField(n, t) for n, t in FRONTIER_FIELDS]
 FRONTIER_COLS = [n for n, _ in FRONTIER_FIELDS]
 
 QUEUE_COLS = ["class_key", "wake_ts", "balance", "expenditure", "retired",
-              "next_ordinal"]
+              "next_ordinal", "successes", "fetches"]
+QUEUE_SCHEMA = ("class_key string, wake_ts long, balance long,"
+                " expenditure long, retired boolean, next_ordinal long,"
+                " successes long, fetches long")
 
 _ORD = ["_ord_ck", "_ord_rn", "_ord_j"]  # total candidate arrival order
 
 
 _QUEUE_DTYPES = {"wake_ts": "int64", "balance": "int64",
                  "expenditure": "int64", "retired": "bool",
-                 "next_ordinal": "int64"}
+                 "next_ordinal": "int64", "successes": "int64",
+                 "fetches": "int64"}
 
 
 def _empty_queue_pdf() -> pd.DataFrame:
@@ -112,6 +128,34 @@ def _empty_queue_pdf() -> pd.DataFrame:
         "class_key": pd.Series(dtype="object"),
         **{c: pd.Series(dtype=t) for c, t in _QUEUE_DTYPES.items()},
     })
+
+
+# host_state (SURVEY §1.2, W1 CrawlStateUpdater): the per-authority
+# dimension Heritrix keeps in CrawlServer/CrawlHost — resolved IP, robots
+# freshness, error counters.  O(#hosts), driver-resident beside ``queues``
+# (same sharding story at 10^8+ hosts), checkpointed each commit.
+HOST_STATE_COLS = ["class_key", "ip", "ip_set_step", "robots_fetched",
+                   "consecutive_errors", "total_successes",
+                   "total_failures"]
+HOST_STATE_SCHEMA = ("class_key string, ip string, ip_set_step long,"
+                     " robots_fetched boolean, consecutive_errors long,"
+                     " total_successes long, total_failures long")
+_HOST_DTYPES = {"ip": "object", "ip_set_step": "int64",
+                "robots_fetched": "bool", "consecutive_errors": "int64",
+                "total_successes": "int64", "total_failures": "int64"}
+
+
+def _empty_host_pdf() -> pd.DataFrame:
+    return pd.DataFrame({
+        "class_key": pd.Series(dtype="object"),
+        **{c: pd.Series(dtype=t) for c, t in _HOST_DTYPES.items()},
+    })
+
+
+def ip_of_host(host: str) -> str:
+    """Deterministic simulated DNS answer (FetchDNS T1)."""
+    h = url_fp_py(f"ip:{host}")
+    return f"10.{(h >> 16) % 256}.{(h >> 8) % 256}.{h % 256}"
 
 
 def _normalize_queues(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -122,19 +166,50 @@ def _normalize_queues(pdf: pd.DataFrame) -> pd.DataFrame:
 class CrawlJob:
     """One crawl: seeds → supersteps → checkpointed engine tables."""
 
+    SEEN_BUCKETS = 16  # local test sizing; 256+ on a real cluster
+
     def __init__(self, spark: SparkSession, spec: FixtureSpec,
                  cfg: C.CrawlConfig, images: DataFrame,
                  robots_rules: DataFrame, host_config: DataFrame | None,
-                 work_dir: str, checkpoint_interval: int = 10):
+                 work_dir: str, checkpoint_interval: int = 10,
+                 durable_seen: bool = False):
         self.spark = spark
         self.spec = spec
         self.cfg = cfg
         self.catalog = SnapshotCatalog(spark, work_dir)
         self.checkpoint_interval = checkpoint_interval
+        self.durable_seen = durable_seen
+        self.work_dir = work_dir
         self.images = images
-        self.image_ids = F.broadcast(
-            images.select("image_id").withColumn("_exists", F.lit(True))
-            .persist())
+        # Image-existence probe (the FetchHTTP hit/404 decision).  Small
+        # corpora: a broadcast-join against the id column.  Large corpora:
+        # a ONE-TIME sorted numpy id array + Arrow-batched searchsorted
+        # UDF — a per-step broadcast join would rebuild the 10^7-entry
+        # hash relation on the driver EVERY superstep (a ~seconds-long
+        # serial stage that caps core scaling); the probe array builds
+        # once and rides the executors for the whole crawl.  (At 10^10
+        # the storage-partitioned fetch join replaces both — SURVEY §4.)
+        self._img_exists_udf = None
+        self.image_ids = None
+        if images.count() > 200_000:
+            ks = np.sort(images.select(
+                F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+                .alias("k")).toPandas()["k"].to_numpy("int64"))
+            bc = spark.sparkContext.broadcast(ks)
+
+            @F.pandas_udf(T.BooleanType())
+            def img_exists(v: pd.Series) -> pd.Series:
+                a = bc.value
+                x = v.fillna(-1).to_numpy("int64")
+                i = np.searchsorted(a, x)
+                ok = (i < len(a)) & (a[np.minimum(i, len(a) - 1)] == x)
+                return pd.Series(ok)
+
+            self._img_exists_udf = img_exists
+        else:
+            self.image_ids = F.broadcast(
+                images.select("image_id").withColumn("_exists", F.lit(True))
+                .persist())
         self.rules = R.rules_per_host(robots_rules)
         if host_config is not None:
             self.delays_pdf = host_config.select(
@@ -147,9 +222,30 @@ class CrawlJob:
         self.done = False
         self.frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
         self.queues = _empty_queue_pdf()
-        self.seen = spark.createDataFrame([], "url_fp long, canon_url string")
+        self.host_state = _empty_host_pdf()
+        if durable_seen:
+            # Durable URL-seen as a BUCKETED table keyed by url_fp — the
+            # local analog of Iceberg `PARTITIONED BY (bucket(N, url_fp))`
+            # (SURVEY §4): the O(seen) side of the recurring anti-join is
+            # storage-partitioned, so the join plan shuffles only the
+            # small candidate batch, never the seen set, and the set
+            # survives driver loss independent of checkpoints.
+            import re as _re
+            self._seen_table = ("heritrix_seen_"
+                                + _re.sub(r"[^a-z0-9]", "_",
+                                          work_dir.lower())[-48:])
+            self._seen_path = f"{work_dir}/seen_bucketed"
+            spark.sql(f"DROP TABLE IF EXISTS {self._seen_table}")
+            self._seen_write(
+                spark.createDataFrame([], "url_fp long, canon_url string"),
+                mode="overwrite")
+            self.seen = spark.table(self._seen_table)
+        else:
+            self.seen = spark.createDataFrame(
+                [], "url_fp long, canon_url string")
         self._pending: dict[str, list[DataFrame]] = {
-            "lineage": [], "fetched": [], "seen": [], "metrics": []}
+            "lineage": [], "scheduled": [], "fetched": [], "seen": [],
+            "metrics": []}
         # Every prerequisite-SHAPED canonical URL ever claimed (dns:h /
         # http://h/robots.txt), whether claimed by a queue-creation
         # prerequisite insert or by an ordinary candidate that happens to
@@ -165,6 +261,15 @@ class CrawlJob:
         # from the superstep's single stats pass — the virtual clock
         # advances from this map with no extra Spark job.
         self._me_map: dict[str, int] = {}
+        # Broadcast bloom URL-seen prefilter state (BloomUriUniqFilter
+        # analog): the bitmap activates once the seen set passes
+        # cfg.bloom_min_seen, is maintained incrementally driver-side
+        # from each step's discoveries (bit-exact xxhash64 mirror), and
+        # re-broadcast only when dirty.
+        self._seen_count = 0
+        self._bloom_bits: np.ndarray | None = None
+        self._bloom_udf = None
+        self._bloom_dirty = False
 
     # ------------------------------------------------------------------ util
 
@@ -175,9 +280,29 @@ class CrawlJob:
         grow additively every superstep (40 steps → ~10^3 partitions of
         near-empty tasks).  coalesce is narrow (no shuffle) and caps the
         materialized RDD at the session's shuffle-partition setting.
+
+        Storage stays DESERIALIZED (the localCheckpoint default):
+        serialized+lz4 blocks were measured 36% slower end-to-end at 32
+        cores — the frontier is re-scanned 2-3x per superstep and repeated
+        deserialization costs more than the bytes saved.
         """
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "8"))
         return df.coalesce(n).localCheckpoint(eager=True)
+
+    def _seen_write(self, df: DataFrame, mode: str = "append") -> None:
+        (df.write.mode(mode)
+         .bucketBy(self.SEEN_BUCKETS, "url_fp").sortBy("url_fp")
+         .option("path", self._seen_path)
+         .saveAsTable(self._seen_table))
+
+    def _seen_add(self, delta: DataFrame) -> None:
+        """Extend the seen set: union chain in-memory (compacted
+        periodically), or append into the bucketed durable table."""
+        if self.durable_seen:
+            self._seen_write(delta)
+            self.seen = self.spark.table(self._seen_table)
+        else:
+            self.seen = self.seen.unionByName(delta)
 
     def _queues_df(self, cols: list[str]) -> DataFrame:
         pdf = self.queues[cols]
@@ -207,15 +332,17 @@ class CrawlJob:
         pre, offsets, kills = self._merge_candidate_queues(stats)
         new_rows = (self._finish_candidates(c, offsets, kills)
                     .select(*FRONTIER_COLS).unionByName(pre))
+        self._journal_scheduled(new_rows)
         self.frontier = self._ck(self.frontier.unionByName(new_rows))
         seen_delta = self._ck(new_rows.select("url_fp", "canon_url"))
-        self.seen = self.seen.unionByName(seen_delta)
+        self._seen_add(seen_delta)
         self._pending["seen"].append(seen_delta)
         for r in stats:
             if r["cnt"]:
                 ck = r["class_key"]
                 me = int(r["cme"])
                 self._me_map[ck] = min(self._me_map.get(ck, me), me)
+        self._maybe_activate_bloom()
         self._advance_clock()
 
     # ------------------------------------------------------------- candidates
@@ -265,7 +392,26 @@ class CrawlJob:
         # (BdbUriUniqFilter keys on the 64-bit fp; the recurring seen
         # shuffle is ~10x narrower this way).
         c = c.withColumn("url_fp", F.xxhash64(F.col("canon_url")))
-        c = c.join(self.seen.select("url_fp"), "url_fp", "left_anti")
+        if self._bloom_bits is not None:
+            # Broadcast bloom prefilter: bloom-negative rows are provably
+            # unseen and skip the anti-join entirely; bloom-positive rows
+            # are verified exactly (never inherits false-positive drops).
+            # The prefix (scope fold → canonicalize → dedup window → fp +
+            # probe column) is materialized ONCE before the split — the
+            # two filter branches must not each recompute it.
+            if self._bloom_udf is None or self._bloom_dirty:
+                self._bloom_udf = U.make_might_contain_udf(
+                    self.spark, self._bloom_bits)
+                self._bloom_dirty = False
+            c = self._ck(c.withColumn("_maybe", self._bloom_udf(
+                *U.bloom_positions_expr(F.col("url_fp"),
+                                        len(self._bloom_bits)))))
+            maybe = (c.where(F.col("_maybe"))
+                     .join(self.seen.select("url_fp"), "url_fp",
+                           "left_anti"))
+            c = c.where(~F.col("_maybe")).unionByName(maybe).drop("_maybe")
+        else:
+            c = c.join(self.seen.select("url_fp"), "url_fp", "left_anti")
         c = (
             c.withColumn("_pshape", F.col("canon_url").rlike(
                 r"^(dns:|https?://[^/?#]*/robots\.txt$)"))
@@ -290,10 +436,9 @@ class CrawlJob:
             (F.coalesce(F.col("next_ordinal"), F.lit(2))
              + F.col("_r") - 1).cast("long"))
 
-    @staticmethod
-    def _cand_aggs() -> list:
+    def _cand_aggs(self) -> list:
         """Per-queue candidate aggregates (driver queue merge inputs)."""
-        return [
+        aggs = [
             F.count("*").alias("cnt"),
             F.max("next_ordinal").alias("existing"),
             F.max("host").alias("chost"),
@@ -307,6 +452,32 @@ class CrawlJob:
                 "_ord_ck", "_ord_rn", "_ord_j", "canon_url")))
             .alias("pshapes"),
         ]
+        if self._bloom_bits is not None:
+            # Bloom maintenance rides the existing stats job: the new
+            # fingerprints come back with the per-queue aggregates, no
+            # extra collect.  (Killed prereq-shaped fps may be noted too —
+            # a stale bloom bit only adds exact-verify work, never drops.)
+            aggs.append(F.collect_list("url_fp").alias("cfps"))
+        return aggs
+
+    def _bloom_note(self, fps) -> None:
+        """OR new fingerprints into the cached bitmap (xxhash64 mirror)."""
+        if self._bloom_bits is None:
+            return
+        m = len(self._bloom_bits)
+        dirty = False
+        for fp in fps:
+            self._bloom_bits[U.bloom_positions_py(int(fp), m)] = True
+            dirty = True
+        self._bloom_dirty = self._bloom_dirty or dirty
+
+    def _maybe_activate_bloom(self) -> None:
+        cfg = self.cfg
+        if (cfg.use_bloom_prefilter and self._bloom_bits is None
+                and self._seen_count >= cfg.bloom_min_seen):
+            self._bloom_bits = U.build_bloom_bits(
+                self.seen, "url_fp", cfg.bloom_bits)
+            self._bloom_dirty = True
 
     def _merge_candidate_queues(self, stats):
         """Driver-side queue effects of a candidate batch: next_ordinal
@@ -374,6 +545,9 @@ class CrawlJob:
         for r in rows:
             ck = r["class_key"]
             surviving = int(r["cnt"]) - kills_by_ck.get(ck, 0)
+            self._seen_count += surviving
+            if "cfps" in r.__fields__ and r["cfps"]:
+                self._bloom_note(r["cfps"])
             if r["existing"] is None:
                 if surviving == 0:
                     # Every candidate of the would-be queue was a killed
@@ -386,9 +560,17 @@ class CrawlJob:
                 dns_i, rob_i = ins_by_ck[ck]
                 n_pre = int(dns_i) + int(rob_i)
                 offsets[ck] = 2 - n_pre
+                self._seen_count += n_pre
+                if self._bloom_bits is not None and n_pre:
+                    host = r["chost"]
+                    self._bloom_note(
+                        url_fp_py(canonicalize_py(u))
+                        for u, ins in ((f"dns:{host}", dns_i),
+                                       (f"http://{host}/robots.txt", rob_i))
+                        if ins)
                 new_qrows.append((ck, int(r["cwake"]),
                                   cfg.balance_replenish, 0, False,
-                                  surviving + n_pre))
+                                  surviving + n_pre, 0, 0))
                 new_hosts.append((ck, r["chost"], int(r["cwake"]),
                                   dns_i, rob_i))
             elif surviving:
@@ -483,12 +665,23 @@ class CrawlJob:
         candidates (rare), never over ordinary rows.
         """
         cfg, now = self.cfg, self.now
+        _t0 = time.time()
+        _marks = []
+
+        def _mark(name):
+            if _TRACE:
+                _marks.append((name, time.time()))
 
         # --- burst selection (WorkQueueFrontier.next, set-at-a-time) -------
+        quota_on = (cfg.max_successes_per_host >= 0
+                    or cfg.max_fetches_per_host >= 0)
         live = self.queues[~self.queues["retired"]]
-        qdf = self.spark.createDataFrame(
-            live[["class_key", "wake_ts", "balance"]]) if len(live) else             self.spark.createDataFrame(
-                [], "class_key string, wake_ts long, balance long")
+        qcols = ["class_key", "wake_ts", "balance"] + (
+            ["successes", "fetches"] if quota_on else [])
+        qdf = self.spark.createDataFrame(live[qcols]) if len(live) else             self.spark.createDataFrame(
+                [], "class_key string, wake_ts long, balance long"
+                    + (", successes long, fetches long" if quota_on
+                       else ""))
         elig = self.frontier.join(F.broadcast(qdf), "class_key")
         elig = elig.where(F.col("earliest_ts")
                           <= F.greatest(F.col("wake_ts"), F.lit(now)))
@@ -512,7 +705,16 @@ class CrawlJob:
             (F.col("kind") == C.KIND_REAL)
             & R.disallowed_expr(path_expr(F.col("url")),
                                 F.col("robots_rules"))).drop("robots_rules")
-        b = b.join(self.image_ids, "image_id", "left")
+        if self._img_exists_udf is not None:
+            b = b.withColumn(
+                "_exists", F.when(
+                    F.col("image_id").isNotNull()
+                    & self._img_exists_udf(
+                        F.regexp_extract("image_id", r"(\d+)", 1)
+                        .cast("long")),
+                    F.lit(True)))
+        else:
+            b = b.join(self.image_ids, "image_id", "left")
         b = b.withColumn(
             "status",
             F.when(F.col("kind") != C.KIND_REAL, F.lit(C.S_OK))
@@ -522,6 +724,36 @@ class CrawlJob:
                   F.lit(C.S_RETRY))
             .when(F.col("_exists").isNull(), F.lit(C.S_NOT_FOUND))
             .otherwise(F.lit(C.S_OK))).drop("_exists")
+        if quota_on:
+            # QuotaEnforcer (P3), set-at-a-time: a real item is blocked
+            # when the host's counters — prior totals plus the actual
+            # in-burst responses before it — have crossed a quota.
+            # In-burst "actual" counts equal the pre-quota counts up to
+            # the first crossing, and blocking is suffix-monotone after
+            # it, so the pre-quota running sums decide exactly the rows
+            # the sequential oracle blocks.
+            wq = w.rowsBetween(Window.unboundedPreceding, -1)
+            real = F.col("kind") == C.KIND_REAL
+            unfetched = F.col("_precluded")
+            csucc = F.coalesce(F.sum(
+                (real & ~unfetched & (F.col("status") == C.S_OK))
+                .cast("long")).over(wq), F.lit(0))
+            cresp = F.coalesce(F.sum(
+                (real & ~unfetched).cast("long")).over(wq), F.lit(0))
+            over_s = (F.lit(cfg.max_successes_per_host >= 0)
+                      & (F.col("successes") + csucc
+                         >= F.lit(max(cfg.max_successes_per_host, 0))))
+            over_f = (F.lit(cfg.max_fetches_per_host >= 0)
+                      & (F.col("fetches") + cresp
+                         >= F.lit(max(cfg.max_fetches_per_host, 0))))
+            b = (b.withColumn("_blocked",
+                              real & ~unfetched & (over_s | over_f))
+                 .withColumn("status",
+                             F.when(F.col("_blocked"),
+                                    F.lit(C.S_BLOCKED_BY_QUOTA))
+                             .otherwise(F.col("status"))))
+        else:
+            b = b.withColumn("_blocked", F.lit(False))
         fetch_ms = F.when(F.col("kind") == C.KIND_DNS,
                           F.lit(C.DNS_FETCH_MS)).otherwise(
             F.lit(C.LATTICE_MS) * (F.lit(1) + F.pmod(F.col("url_fp"),
@@ -538,11 +770,12 @@ class CrawlJob:
             delay = F.greatest(delay, F.coalesce(F.col("crawl_delay_ms"),
                                                  F.lit(0)))
             b = b.drop("crawl_delay_ms")
+        unfetched = F.col("_precluded") | F.col("_blocked")
         b = (b.withColumn("_fetch_ms", fetch_ms.cast("long"))
-             .withColumn("_time_cost", F.when(F.col("_precluded"), F.lit(0))
+             .withColumn("_time_cost", F.when(unfetched, F.lit(0))
                          .otherwise(F.col("_fetch_ms") + delay)
                          .cast("long"))
-             .withColumn("_charge", F.when(F.col("_precluded"), F.lit(0))
+             .withColumn("_charge", F.when(unfetched, F.lit(0))
                          .otherwise(F.col("cost") + F.when(
                              F.col("status").isin(C.S_NOT_FOUND, C.S_RETRY),
                              F.lit(cfg.error_penalty)).otherwise(F.lit(0)))
@@ -560,17 +793,18 @@ class CrawlJob:
         sel = (
             sel.withColumn(
                 "fetch_end",
-                (F.col("fetch_start") + F.when(F.col("_precluded"), F.lit(0))
+                (F.col("fetch_start") + F.when(unfetched, F.lit(0))
                  .otherwise(F.col("_fetch_ms"))).cast("long"))
             .withColumn(
                 "event",
-                F.when(F.col("_precluded"), F.lit(C.EV_DISREGARD))
+                F.when(unfetched, F.lit(C.EV_DISREGARD))
                 .when(F.col("status") == C.S_OK, F.lit(C.EV_SUCCESS))
                 .when((F.col("status") == C.S_RETRY)
                       & (F.col("retries") < cfg.max_retries),
                       F.lit(C.EV_RETRY))
                 .otherwise(F.lit(C.EV_FAILURE))))
         sel = self._ck(sel)
+        _mark("burst_ck")
 
         # --- extract + candidate pipeline (off the materialized burst) -----
         ok_plan = sel.where((F.col("status") == C.S_OK)
@@ -588,15 +822,28 @@ class CrawlJob:
             F.col("_pts").alias("earliest_ts"),
             "_ord_ck", "_ord_rn", F.col("link_idx").alias("_ord_j"))
         c = self._ck(self._candidate_plan(cand))
+        _mark("cand_ck")
 
         # --- ONE O(#queues) stats job: burst effects ∪ candidate counts ----
         # ∪ per-queue min-earliest of the rows this step leaves untouched
         # (the virtual-clock input — no separate clock job, judge fix #3).
+        real = F.col("kind") == C.KIND_REAL
         sel_stats = sel.groupBy("class_key").agg(
             F.count("*").alias("n"),
             F.max("wake_ts").alias("wake0"),
             F.sum("_time_cost").alias("tsum"),
             F.sum("_charge").alias("charged"),
+            F.sum((real & (F.col("status") == C.S_OK)).cast("long"))
+            .alias("rsucc"),
+            F.sum((real & ~F.col("status").isin(
+                C.S_ROBOTS_PRECLUDED, C.S_BLOCKED_BY_QUOTA)).cast("long"))
+            .alias("rresp"),
+            F.sum((F.col("event") == C.EV_FAILURE).cast("long"))
+            .alias("nfail"),
+            F.max((F.col("kind") == C.KIND_DNS).cast("int")).alias("dns_ok"),
+            F.max(((F.col("kind") == C.KIND_ROBOTS)
+                   & (F.col("event") == C.EV_SUCCESS)).cast("int"))
+            .alias("rob_ok"),
             F.min(F.when(F.col("event") == C.EV_RETRY,
                          F.col("fetch_end")
                          + F.lit(cfg.retry_delay_ms))).alias("rme"))
@@ -610,6 +857,7 @@ class CrawlJob:
                  .unionByName(cand_stats, allowMissingColumns=True)
                  .unionByName(rem_stats, allowMissingColumns=True)
                  .collect())
+        _mark("stats")
 
         # Burst merge first (WorkQueue.expend + snooze), then candidates —
         # vectorized pandas merges, no per-row .loc.
@@ -631,12 +879,25 @@ class CrawlJob:
             nexp = (q.loc[idx, "expenditure"].to_numpy("int64")
                     + np.asarray(charged))
             q.loc[idx, "expenditure"] = nexp
+            nsucc = (q.loc[idx, "successes"].to_numpy("int64")
+                     + np.asarray([int(r["rsucc"]) for r in burst_rows]))
+            nfet = (q.loc[idx, "fetches"].to_numpy("int64")
+                    + np.asarray([int(r["rresp"]) for r in burst_rows]))
+            q.loc[idx, "successes"] = nsucc
+            q.loc[idx, "fetches"] = nfet
+            retired = q.loc[idx, "retired"].to_numpy(bool)
             if cfg.total_budget >= 0:
-                q.loc[idx, "retired"] = (
-                    q.loc[idx, "retired"].to_numpy(bool)
-                    | (nexp >= cfg.total_budget))
+                retired = retired | (nexp >= cfg.total_budget)
+            if cfg.max_successes_per_host >= 0:
+                retired = retired | (nsucc >= cfg.max_successes_per_host)
+            if cfg.max_fetches_per_host >= 0:
+                retired = retired | (nfet >= cfg.max_fetches_per_host)
+            q.loc[idx, "retired"] = retired
+            self._update_host_state(burst_rows)
             self.queues = _normalize_queues(q.reset_index())
+        _mark("pandas_merge")
         pre, offsets, kills = self._merge_candidate_queues(stats)
+        _mark("cand_merge")
 
         # Rebuild the clock map: post-merge frontier = untouched rows (ome)
         # ∪ retry re-enqueues (rme) ∪ new candidates (cme); prerequisite
@@ -652,7 +913,8 @@ class CrawlJob:
         # --- lineage / metrics / fetched (journal + stats + writer) --------
         events = sel.select(
             F.lit(self.step).alias("crawl_step"), "class_key", "url",
-            "canon_url", "kind", "is_seed", "directive", "cost", "ordinal",
+            "canon_url", "url_fp", "kind", "is_seed", "directive", "cost",
+            "ordinal",
             (F.col("retries") + F.when(F.col("event") == C.EV_RETRY,
                                        F.lit(1)).otherwise(F.lit(0)))
             .cast("int").alias("retries"),
@@ -693,20 +955,32 @@ class CrawlJob:
                  .select(*FRONTIER_COLS))
         new_rows = (self._finish_candidates(c, offsets, kills)
                     .select(*FRONTIER_COLS).unionByName(pre))
+        self._journal_scheduled(new_rows)
+        _mark("plan_build")
         self.frontier = self._ck(
             removed.unionByName(retry).unionByName(new_rows))
+        _mark("frontier_ck")
         seen_delta = new_rows.select("url_fp", "canon_url").coalesce(1)
-        self.seen = self.seen.unionByName(seen_delta)
+        self._seen_add(seen_delta)
         self._pending["seen"].append(seen_delta)
 
         self.step += 1
-        if self.step % 10 == 0:
+        if self.step % 10 == 0 and not self.durable_seen:
             # Compact the seen union chain (bounds plan depth + partition
             # count between durable checkpoints).
             self.seen = self._ck(self.seen)
         if self.step % self.checkpoint_interval == 0:
             self.checkpoint()
+        self._maybe_activate_bloom()
         self._advance_clock()
+        if _TRACE:
+            parts, prev = [], _t0
+            for name, ts in _marks:
+                parts.append(f"{name}={ts - prev:.2f}s")
+                prev = ts
+            parts.append(f"tail={time.time() - prev:.2f}s")
+            print(f"TRACE step={self.step - 1} n={n_processed} "
+                  + " ".join(parts), flush=True)
         return n_processed
 
     # ------------------------------------------------------------ lifecycle
@@ -731,30 +1005,40 @@ class CrawlJob:
                 for p in parts[1:]:
                     df = df.unionByName(p)
                 if table == "fetched":
+                    # Payload join + content digest (HTTPContentDigest X4;
+                    # null digest when the fixture carries no payload —
+                    # payload-less fixtures type the all-null bytes column
+                    # as non-binary, so gate on the actual type).
                     df = df.join(self.images, "image_id", "left")
+                    digest = (F.sha1(F.col("bytes"))
+                              if dict(df.dtypes).get("bytes") == "binary"
+                              else F.lit(None).cast("string"))
+                    df = df.withColumn("content_digest", digest)
                 self.catalog.write(table, df, step)
             self._pending[table] = []
         self.catalog.write("frontier", self.frontier, step)
         qdf = (self.spark.createDataFrame(self.queues[QUEUE_COLS])
                if len(self.queues) else self.spark.createDataFrame(
-                   [], "class_key string, wake_ts long, balance long,"
-                       " expenditure long, retired boolean,"
-                       " next_ordinal long"))
+                   [], QUEUE_SCHEMA))
         self.catalog.write("queue_state", qdf, step)
+        self.catalog.write("host_state", self.host_state_df(), step)
         self.catalog.commit(step, {"now": self.now, "done": self.done},
-                            {"frontier": step, "queue_state": step})
-        # Compact the in-memory seen lineage (union-of-deltas chain).
-        self.seen = self._ck(self.seen)
+                            {"frontier": step, "queue_state": step,
+                             "host_state": step})
+        if not self.durable_seen:
+            # Compact the in-memory seen lineage (union-of-deltas chain).
+            self.seen = self._ck(self.seen)
 
     @classmethod
     def resume(cls, spark: SparkSession, spec: FixtureSpec,
                cfg: C.CrawlConfig, images: DataFrame,
                robots_rules: DataFrame, host_config: DataFrame | None,
                work_dir: str, at_step: int | None = None,
-               checkpoint_interval: int = 10) -> "CrawlJob":
+               checkpoint_interval: int = 10,
+               durable_seen: bool = False) -> "CrawlJob":
         """Reconstruct a job from its latest (or a given) checkpoint."""
         job = cls(spark, spec, cfg, images, robots_rules, host_config,
-                  work_dir, checkpoint_interval)
+                  work_dir, checkpoint_interval, durable_seen=durable_seen)
         cp = job.catalog.latest(at_step)
         if cp is None:
             raise FileNotFoundError(f"no checkpoint in {work_dir}")
@@ -769,9 +1053,20 @@ class CrawlJob:
         qpdf = job.catalog.read_snapshot("queue_state", step).toPandas()
         job.queues = (_normalize_queues(qpdf[QUEUE_COLS]) if len(qpdf)
                       else _empty_queue_pdf())
+        hpdf = job.catalog.read_snapshot("host_state", step).toPandas()
+        job.host_state = (hpdf[HOST_STATE_COLS] if len(hpdf)
+                          else _empty_host_pdf())
         if job.catalog.has_log("seen"):
-            job.seen = job._ck(job.catalog.read_log("seen", step)
-                               .select("url_fp", "canon_url"))
+            restored = (job.catalog.read_log("seen", step)
+                        .select("url_fp", "canon_url"))
+            if durable_seen:
+                # Rebuild the bucketed table at the resume point (the
+                # live table may contain post-checkpoint rows from the
+                # dead run — the checkpoint log is the commit point).
+                job._seen_write(restored, mode="overwrite")
+                job.seen = spark.table(job._seen_table)
+            else:
+                job.seen = job._ck(restored)
         # _prereq_canons = every prereq-SHAPED canon in the seen set —
         # covers both queue-inserted prerequisites and prereq-shaped
         # candidates (seeded robots.txt / dns: URLs) claimed before the
@@ -786,9 +1081,62 @@ class CrawlJob:
             r["class_key"]: int(r["me"]) for r in
             job.frontier.groupBy("class_key")
             .agg(F.min("earliest_ts").alias("me")).collect()}
+        job._seen_count = job.seen.count()
+        job._maybe_activate_bloom()
         if not job.done:
             job._advance_clock()
         return job
+
+    def _update_host_state(self, burst_rows) -> None:
+        """CrawlStateUpdater (W1): fold burst fetch results into the
+        host_state dimension — dns answers, robots freshness, error
+        counters.  Vectorized; the only loop is over newly-resolved hosts
+        (their simulated IP is a per-host scalar)."""
+        hs = self.host_state.set_index("class_key")
+        new_keys = [r["class_key"] for r in burst_rows
+                    if r["class_key"] not in hs.index]
+        if new_keys:
+            add = pd.DataFrame(
+                [(ck, None, -1, False, 0, 0, 0) for ck in new_keys],
+                columns=HOST_STATE_COLS).set_index("class_key")
+            hs = pd.concat([hs, add])
+        idx = [r["class_key"] for r in burst_rows]
+        rsucc = np.asarray([int(r["rsucc"]) for r in burst_rows])
+        nfail = np.asarray([int(r["nfail"]) for r in burst_rows])
+        rob = np.asarray([bool(r["rob_ok"]) for r in burst_rows])
+        hs.loc[idx, "robots_fetched"] = (
+            hs.loc[idx, "robots_fetched"].to_numpy(bool) | rob)
+        hs.loc[idx, "total_successes"] = (
+            hs.loc[idx, "total_successes"].to_numpy("int64") + rsucc)
+        hs.loc[idx, "total_failures"] = (
+            hs.loc[idx, "total_failures"].to_numpy("int64") + nfail)
+        # consecutive_errors: reset when the burst had any success, else
+        # accumulate (trailing-run-within-burst refinement intentionally
+        # elided — this is a report/steering dimension, not ordering law).
+        prev = hs.loc[idx, "consecutive_errors"].to_numpy("int64")
+        hs.loc[idx, "consecutive_errors"] = np.where(
+            rsucc > 0, 0, prev + nfail)
+        for r in burst_rows:
+            ck = r["class_key"]
+            if r["dns_ok"] and hs.at[ck, "ip"] is None:
+                hs.at[ck, "ip"] = ip_of_host(ck.split(":", 1)[0])
+                hs.at[ck, "ip_set_step"] = self.step
+        self.host_state = hs.reset_index().astype(
+            {k: v for k, v in _HOST_DTYPES.items() if k != "ip"})
+
+    def host_state_df(self) -> DataFrame:
+        if len(self.host_state) == 0:
+            return self.spark.createDataFrame([], HOST_STATE_SCHEMA)
+        return self.spark.createDataFrame(self.host_state[HOST_STATE_COLS])
+
+    def _journal_scheduled(self, new_rows: DataFrame) -> None:
+        """Append F+ (scheduled) journal entries — RecoveryJournal's
+        ``F+`` lines, kept in their own ``scheduled`` log table so the
+        processed-event ``lineage`` reports stay pure."""
+        self._pending["scheduled"].append(new_rows.select(
+            F.lit(self.step).alias("crawl_step"),
+            *[F.col(c) for c in FRONTIER_COLS],
+            F.lit(C.EV_SCHEDULED).alias("event")))
 
     # -------------------------------------------------------------- accessors
 
@@ -796,8 +1144,45 @@ class CrawlJob:
         """All lineage events up to the last checkpoint (journal analog)."""
         return self.catalog.read_log("lineage")
 
+    def scheduled_df(self) -> DataFrame:
+        """All F+ journal entries up to the last checkpoint."""
+        return self.catalog.read_log("scheduled")
+
     def fetched_df(self) -> DataFrame:
         return self.catalog.read_log("fetched")
 
     def metrics_df(self) -> DataFrame:
         return self.catalog.read_log("metrics")
+
+
+def import_recover_log(scheduled: DataFrame,
+                       lineage: DataFrame) -> dict[str, DataFrame]:
+    """Disaster-path journal replay — ``RecoveryJournal.importRecoverLog``
+    analog (F15).  Rebuilds the URL-seen set and the outstanding frontier
+    purely from the append-only journal tables, for when every snapshot is
+    lost but the logs survive:
+
+    * ``seen`` = every F+ line's fingerprint (exact — the journal is the
+      authoritative record of UriUniqFilter.add callbacks);
+    * ``frontier`` = F+ lines minus terminally-disposed fingerprints
+      (Fs success / Ff failure / Fd disregard), carrying their original
+      composite-key columns; ``retries`` is folded from Fr lines.
+
+    Like the reference's replay, in-flight politeness state is not
+    reconstructed (``earliest_ts`` keeps its discovery value; queues
+    restart with fresh balances) — replay restores WHAT remains to crawl
+    exactly, not the mid-burst clock.
+    """
+    seen = scheduled.select("url_fp", "canon_url").distinct()
+    done = (lineage.where(F.col("event").isin(
+        C.EV_SUCCESS, C.EV_FAILURE, C.EV_DISREGARD))
+        .select("url_fp").distinct())
+    retr = (lineage.where(F.col("event") == C.EV_RETRY)
+            .groupBy("url_fp").agg(F.max("retries").alias("_retries")))
+    frontier = (scheduled.select(*FRONTIER_COLS)
+                .join(done, "url_fp", "left_anti")
+                .join(retr, "url_fp", "left")
+                .withColumn("retries",
+                            F.coalesce(F.col("_retries"), F.col("retries")))
+                .drop("_retries"))
+    return {"seen": seen, "frontier": frontier}

@@ -3,6 +3,21 @@
 Local mode is the test harness; the same confs are what we'd ship in
 spark-defaults for a multi-executor cluster (AQE on, adaptive coalescing,
 runtime bloom-filter joins for the seen anti-join, Arrow for pandas UDFs).
+
+Cluster execution (north_rule: ``spark-submit --py-files`` at N and 4N
+executors): set ``SPARK_GRAFT_MASTER`` (or pass ``master=``) to any Spark
+master URL — ``yarn``, ``k8s://…``, ``spark://…`` — and the factory defers
+to the cluster manager for parallelism and scratch dirs::
+
+    spark-submit --master yarn --deploy-mode client \\
+        --py-files heritrix_spark.zip --num-executors N \\
+        your_crawl_driver.py
+
+When launched via spark-submit, an existing session/master is respected
+(``getOrCreate`` never overrides a configured master).  The /dev/shm
+``spark.local.dir`` is applied only in local mode (single-box shuffle on
+tmpfs); clusters keep their manager-provisioned local dirs, or set
+``SPARK_GRAFT_LOCAL_DIR`` explicitly.
 """
 
 from __future__ import annotations
@@ -17,19 +32,23 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    ``cores=None`` → ``local[*]``.  ``shuffle_partitions`` defaults to the
-    core count — on a real cluster you'd size this to 2-3× total cores and
-    let AQE coalesce; locally matching cores avoids tiny-partition overhead.
+    ``master=None`` → ``$SPARK_GRAFT_MASTER`` if set (cluster mode), else
+    ``local[cores]``.  ``cores=None`` → ``$SPARK_GRAFT_CPUS`` or all.
+    ``shuffle_partitions`` defaults to the core count locally — on a real
+    cluster size it to 2-3× total cores and let AQE coalesce.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
+    local = master.startswith("local")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -40,15 +59,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        # Shuffle/spill on tmpfs: local-mode shuffle writes otherwise
-        # serialize on disk bandwidth and flatten core scaling.
-        .config("spark.local.dir",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm")
-                else "/tmp/spark-local")
         # Engine arithmetic (hash-derived ints) relies on Java long semantics.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill on tmpfs in LOCAL mode only (single-box shuffle writes
+    # otherwise serialize on disk bandwidth and flatten core scaling);
+    # clusters keep manager-provisioned dirs unless overridden.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        ("/dev/shm/spark-local" if os.path.isdir("/dev/shm")
+         else "/tmp/spark-local") if local else None)
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

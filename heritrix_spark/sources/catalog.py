@@ -38,8 +38,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-SNAPSHOT_TABLES = ("frontier", "queue_state")
-LOG_TABLES = ("seen", "lineage", "metrics", "fetched")
+SNAPSHOT_TABLES = ("frontier", "queue_state", "host_state")
+LOG_TABLES = ("seen", "lineage", "scheduled", "metrics", "fetched")
 
 
 class SnapshotCatalog:

@@ -96,6 +96,36 @@ def test_prereq_shaped_seeds_equivalence(spark, tmp_path):
     _assert_equal(sim, job)
 
 
+def test_quota_enforcer_equivalence(spark, tmp_path):
+    """P3 per-host quotas: once a host crosses max-successes/max-fetches,
+    its remaining items are disregarded S_BLOCKED_BY_QUOTA and the queue
+    retires — engine event-identical to the oracle, including the
+    mid-burst crossing."""
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        max_successes_per_host=4, max_fetches_per_host=9)
+    sim, job = _run_pair(spark, tmp_path, "tiny", cfg, 10)
+    _assert_equal(sim, job)
+    blocked = [e for e in sim.fetch_log
+               if e["status"] == C.S_BLOCKED_BY_QUOTA]
+    assert blocked, "fixture never hit the quota — test is vacuous"
+    assert (job.queues["successes"] <= 4).all()
+    # host_state (W1) tracked the burst results
+    hs = job.host_state.set_index("class_key")
+    assert hs["robots_fetched"].any()
+    assert hs["ip"].notna().any()
+
+
+def test_bloom_prefilter_equivalence(spark, tmp_path):
+    """With the broadcast bloom URL-seen prefilter forced active from
+    step 0, the crawl is event-identical to the oracle — the bloom only
+    routes candidates, it never drops (north_rule: exact seen set)."""
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        bloom_min_seen=0, bloom_bits=1 << 16)
+    sim, job = _run_pair(spark, tmp_path, "tiny", cfg, 8)
+    _assert_equal(sim, job)
+    assert job._bloom_bits is not None and job._bloom_bits.any()
+
+
 @pytest.mark.slow
 def test_small_prefix_equivalence(spark, tmp_path):
     """12-superstep prefix on the 50-host fixture (hot-host skew live)."""

@@ -99,6 +99,24 @@ def test_knn_lsh_and_ivf_recall_top1(spark, vectors):
     assert ivf and ivf[0]["vec_id"] == 1  # nprobe=all cells → exact
 
 
+def test_ivf_train_centroids(spark, vectors):
+    """Lloyd's training: k centroids of the right dimension, assignment
+    covers every vector, and searching with TRAINED centroids still
+    recalls the brute-force top-1 at nprobe=k."""
+    k = 2
+    cents = similarity.ivf_train(vectors, k=k, iters=3)
+    rows = cents.collect()
+    assert {r["cell_id"] for r in rows} <= set(range(k)) and rows
+    assert all(len(r["centroid"]) == 8 for r in rows)
+    assigned = similarity.ivf_assign(vectors, cents)
+    assert assigned.count() == vectors.count()
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    ivf = similarity.knn_ivf(vectors.where(F.col("vec_id") != 0), q, cents,
+                             k=2, nprobe=k).collect()
+    assert ivf and ivf[0]["vec_id"] == 1
+
+
 def test_text_ops(spark, docs):
     out = text.quality_features(text.lang_id(docs)).collect()
     by_id = {r["doc_id"]: r for r in out}

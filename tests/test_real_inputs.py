@@ -1,0 +1,152 @@
+"""Real-input variants: robots.txt TEXT parser (R1) and the regex
+real-HTML extractor (X1) — the swap-ins that let the engine crawl
+non-synthetic content.  Small inline corpora, checked end-to-end through
+the Spark operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heritrix_spark.operators.extract import outlinks_html
+from heritrix_spark.operators.robots import (
+    disallowed_expr,
+    join_rules,
+    parse_robots_txt,
+    rules_from_robots_texts,
+    rules_per_host,
+)
+
+ROBOTS_A = """
+# comments are stripped
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Crawl-delay: 2
+
+User-agent: heritrix
+Disallow: /no-heritrix
+Crawl-delay: 1.5
+"""
+
+ROBOTS_ALLOW_ALL = """
+User-agent: *
+Disallow:
+"""
+
+ROBOTS_MULTI_AGENT = """
+User-agent: googlebot
+User-agent: heritrix
+Disallow: /both
+User-agent: *
+Disallow: /
+"""
+
+
+def test_parse_robots_groups_and_delay():
+    rules, delay = parse_robots_txt(ROBOTS_A, agent="heritrix")
+    # the heritrix group wins over * (longer agent-token match)
+    assert rules == [("/no-heritrix", False)]
+    assert delay == 1500
+    rules, delay = parse_robots_txt(ROBOTS_A, agent="otherbot")
+    assert rules == [("/private", False), ("/private/ok", True)]
+    assert delay == 2000
+
+
+def test_parse_robots_empty_disallow_is_allow_all():
+    rules, delay = parse_robots_txt(ROBOTS_ALLOW_ALL, agent="heritrix")
+    assert rules == [("/", True)]
+    assert delay is None
+
+
+def test_parse_robots_shared_agent_group():
+    rules, _ = parse_robots_txt(ROBOTS_MULTI_AGENT, agent="heritrix")
+    assert rules == [("/both", False)]
+    rules, _ = parse_robots_txt(ROBOTS_MULTI_AGENT, agent="unknown")
+    assert rules == [("/", False)]
+
+
+def test_rules_from_texts_feed_the_matcher(spark):
+    """Parsed rules drive the same longest-prefix verdict the engine
+    uses (R1 → R2 end-to-end)."""
+    texts = spark.createDataFrame(
+        [("a.test", ROBOTS_A), ("b.test", ROBOTS_ALLOW_ALL)],
+        "host string, robots_txt string")
+    rules = rules_from_robots_texts(texts, agent="otherbot")
+    rows = {(r["host"], r["path_prefix"]): (r["allow"], r["crawl_delay_ms"])
+            for r in rules.collect()}
+    assert rows[("a.test", "/private")] == (False, 2000)
+    assert rows[("a.test", "/private/ok")] == (True, 2000)
+    assert rows[("b.test", "/")] == (True, None)
+
+    batch = spark.createDataFrame(
+        [("a.test", "/private/x"), ("a.test", "/private/ok/y"),
+         ("a.test", "/pub"), ("b.test", "/anything")],
+        "host string, path string")
+    verdicts = {
+        (r["host"], r["path"]): r["dis"]
+        for r in join_rules(batch, rules_per_host(
+            rules.where(F.col("path_prefix").isNotNull())))
+        .select("host", "path",
+                disallowed_expr(F.col("path"),
+                                F.col("robots_rules")).alias("dis"))
+        .collect()}
+    assert verdicts[("a.test", "/private/x")] is True
+    assert verdicts[("a.test", "/private/ok/y")] is False
+    assert verdicts[("a.test", "/pub")] is False
+    assert verdicts[("b.test", "/anything")] is False
+
+
+HTML_PAGE = """
+<html><head>
+  <base href="http://base.test/dir/">
+  <link rel="stylesheet" href="/style.css">
+</head><body>
+  <a href="http://abs.test/page1">one</a>
+  <a href='relative.html'>two</a>
+  <a href="/rooted">three</a>
+  <a href="//proto.test/rel">four</a>
+  <area href="map.html">
+  <img src="pic.jpg">
+  <iframe src="http://frame.test/f"></iframe>
+  <table background="bg.gif"><tr><td>x</td></tr></table>
+  <form action="/submit"><input type="text" name="q"></form>
+  <script type="text/javascript">
+    var u = "http://spec.test/api";
+  </script>
+</body></html>
+"""
+
+
+def test_outlinks_html_hops_and_resolution(spark):
+    df = spark.createDataFrame(
+        [("http://page.test/a/b.html", "L", HTML_PAGE)],
+        "url string, hops_path string, html string")
+    out = outlinks_html(df).select("url", "hop", "hops_path").collect()
+    got = {(r["url"], r["hop"]) for r in out}
+    assert got == {
+        ("http://abs.test/page1", "L"),
+        ("http://base.test/dir/relative.html", "L"),   # base-href dir
+        ("http://base.test/rooted", "L"),              # site root
+        ("http://proto.test/rel", "L"),                # scheme-relative
+        ("http://base.test/dir/map.html", "L"),
+        ("http://base.test/submit", "L"),              # form action
+        ("http://base.test/dir/pic.jpg", "E"),
+        ("http://frame.test/f", "E"),
+        ("http://base.test/dir/bg.gif", "E"),
+        ("http://base.test/style.css", "E"),           # <link href>
+        ("http://spec.test/api", "X"),                 # script literal
+    }
+    assert all(r["hops_path"] == "L" + r["hop"] for r in out)
+
+
+def test_outlinks_html_nofollow_and_no_base(spark):
+    html = ('<html><head><meta name="robots" content="noindex,nofollow">'
+            '</head><body><a href="x.html">x</a>'
+            '<img src="y.png"></body></html>')
+    df = spark.createDataFrame(
+        [("http://h.test/", "", html)],
+        "url string, hops_path string, html string")
+    out = {(r["url"], r["hop"])
+           for r in outlinks_html(df).select("url", "hop").collect()}
+    # nofollow drops navlinks, keeps embeds; no <base> → resolve vs page
+    assert out == {("http://h.test/y.png", "E")}

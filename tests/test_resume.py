@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from heritrix_spark import config as C
 from heritrix_spark.fixtures import gen, websim
-from heritrix_spark.plans.crawl_job import CrawlJob
+from heritrix_spark.plans.crawl_job import CrawlJob, import_recover_log
 
 CFG = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes())
 SPEC = websim.SPECS["tiny"]
@@ -66,3 +66,24 @@ def test_resume_exactness(spark, tmp_path):
                   .select("canon_url", "ordinal", "retries", "earliest_ts")
                   .collect())
     assert fr == fref
+
+
+def test_import_recover_log_rebuilds_state(spark, tmp_path):
+    """F15 disaster path: with every snapshot lost, the append-only
+    journal tables alone reconstruct the exact seen set and the exact
+    outstanding frontier (composite-key columns included)."""
+    paths = gen.write_fixture(SPEC, str(tmp_path / "fix"))
+    job = _mk_job(spark, paths, str(tmp_path / "jr"), interval=3)
+    job.schedule_seeds(websim.seeds(SPEC))
+    job.run(9)  # checkpoints at 3/6/9 → logs are durable through step 9
+
+    replayed = import_recover_log(job.scheduled_df(), job.events_df())
+    seen = {r["canon_url"] for r in replayed["seen"].collect()}
+    assert seen == {r["canon_url"] for r in job.seen.collect()}
+
+    key = ["url_fp", "class_key", "directive", "cost", "ordinal",
+           "retries"]
+    got = sorted(tuple(r) for r in replayed["frontier"]
+                 .select(*key).collect())
+    want = sorted(tuple(r) for r in job.frontier.select(*key).collect())
+    assert got == want and len(got) > 0
