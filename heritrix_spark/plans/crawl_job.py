@@ -270,6 +270,15 @@ class CrawlJob:
         self._bloom_bits: np.ndarray | None = None
         self._bloom_udf = None
         self._bloom_dirty = False
+        # Adaptive idle-off: a bloom prefilter only pays while the crawl
+        # DISCOVERS (unseen candidates skip the anti-join).  In a drain
+        # phase every candidate is a duplicate, so the probe is pure
+        # overhead — after 3 zero-discovery steps the bitmap is dropped
+        # (plain anti-join), and it re-arms once discoveries resume
+        # (rebuilt from the seen set).  Never affects output.
+        self._bloom_was_active = False
+        self._bloom_idle_steps = 0
+        self._bloom_suspended = False
 
     # ------------------------------------------------------------------ util
 
@@ -474,10 +483,25 @@ class CrawlJob:
     def _maybe_activate_bloom(self) -> None:
         cfg = self.cfg
         if (cfg.use_bloom_prefilter and self._bloom_bits is None
+                and not self._bloom_suspended
                 and self._seen_count >= cfg.bloom_min_seen):
             self._bloom_bits = U.build_bloom_bits(
                 self.seen, "url_fp", cfg.bloom_bits)
             self._bloom_dirty = True
+            self._bloom_was_active = True
+
+    def _bloom_adapt(self, n_new: int) -> None:
+        """Idle-off / resume-on hysteresis (see __init__ comment)."""
+        if self._bloom_bits is not None:
+            self._bloom_idle_steps = (self._bloom_idle_steps + 1
+                                      if n_new == 0 else 0)
+            if self._bloom_idle_steps >= 3:
+                self._bloom_bits = None
+                self._bloom_udf = None
+                self._bloom_suspended = True
+                self._bloom_idle_steps = 0
+        elif self._bloom_suspended and n_new > 0:
+            self._bloom_suspended = False  # re-arm; next activation rebuilds
 
     def _merge_candidate_queues(self, stats):
         """Driver-side queue effects of a candidate batch: next_ordinal
@@ -909,6 +933,9 @@ class CrawlJob:
                 if v is not None and (ck not in me or int(v) < me[ck]):
                     me[ck] = int(v)
         self._me_map = me
+        self._bloom_adapt(sum(
+            int(r["cnt"]) for r in stats
+            if "cnt" in r.__fields__ and r["cnt"]))
 
         # --- lineage / metrics / fetched (journal + stats + writer) --------
         events = sel.select(
