@@ -381,7 +381,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard,
     )
     d = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, num_hashes=4, bands=2, n=2, hash_fn=F.md5)
+    # The candidate-pair frame is tiny (hundreds of rows) but its lineage
+    # is the whole shingle→minhash→band pipeline — materialize it once so
+    # the jaccard join doesn't recompute the LSH plan per reference.
+    pairs = lsh_candidate_pairs(d, num_hashes=4, bands=2, n=2,
+                                hash_fn=F.md5).localCheckpoint()
     return (ngram_jaccard(d, pairs, n=2)
             .select("id_a", "id_b", "n_inter", "n_union")
             .orderBy("id_a", "id_b"))
