@@ -263,11 +263,15 @@ class CrawlJob:
         self._me_map: dict[str, int] = {}
         # Broadcast bloom URL-seen prefilter state (BloomUriUniqFilter
         # analog): the bitmap activates once the seen set passes
-        # cfg.bloom_min_seen, is maintained incrementally driver-side
-        # from each step's discoveries (bit-exact xxhash64 mirror), and
-        # re-broadcast only when dirty.
+        # cfg.bloom_min_seen and lives PACKED (m/8 uint8 bytes).  Per-step
+        # maintenance is executor-side: the step's discovery delta folds
+        # into per-partition packed bitmaps (build_bloom_packed) and the
+        # driver ORs a handful of ~MB blobs — never a collect of raw
+        # fingerprints, never per-fp Python (the round-2 scale-killer).
+        # Only the O(#new-queues) prerequisite fps are noted driver-side.
         self._seen_count = 0
-        self._bloom_bits: np.ndarray | None = None
+        self._bloom_nbits = cfg.bloom_bits
+        self._bloom_bits: np.ndarray | None = None  # packed uint8
         self._bloom_udf = None
         self._bloom_dirty = False
         # Adaptive idle-off: a bloom prefilter only pays while the crawl
@@ -351,6 +355,7 @@ class CrawlJob:
                 ck = r["class_key"]
                 me = int(r["cme"])
                 self._me_map[ck] = min(self._me_map.get(ck, me), me)
+        self._bloom_fold_delta(c, sum(int(r["cnt"]) for r in stats))
         self._maybe_activate_bloom()
         self._advance_clock()
 
@@ -409,12 +414,12 @@ class CrawlJob:
             # probe column) is materialized ONCE before the split — the
             # two filter branches must not each recompute it.
             if self._bloom_udf is None or self._bloom_dirty:
-                self._bloom_udf = U.make_might_contain_udf(
+                self._bloom_udf = U.make_might_contain_packed_udf(
                     self.spark, self._bloom_bits)
                 self._bloom_dirty = False
             c = self._ck(c.withColumn("_maybe", self._bloom_udf(
                 *U.bloom_positions_expr(F.col("url_fp"),
-                                        len(self._bloom_bits)))))
+                                        self._bloom_nbits))))
             maybe = (c.where(F.col("_maybe"))
                      .join(self.seen.select("url_fp"), "url_fp",
                            "left_anti"))
@@ -461,31 +466,39 @@ class CrawlJob:
                 "_ord_ck", "_ord_rn", "_ord_j", "canon_url")))
             .alias("pshapes"),
         ]
-        if self._bloom_bits is not None:
-            # Bloom maintenance rides the existing stats job: the new
-            # fingerprints come back with the per-queue aggregates, no
-            # extra collect.  (Killed prereq-shaped fps may be noted too —
-            # a stale bloom bit only adds exact-verify work, never drops.)
-            aggs.append(F.collect_list("url_fp").alias("cfps"))
         return aggs
 
     def _bloom_note(self, fps) -> None:
-        """OR new fingerprints into the cached bitmap (xxhash64 mirror)."""
+        """Set fingerprints' bits in the packed bitmap (xxhash64 mirror).
+        Driver-side on purpose: callers pass only O(#new-queues)
+        prerequisite fps; bulk candidate deltas fold executor-side in
+        :meth:`_bloom_fold_delta`."""
         if self._bloom_bits is None:
             return
-        m = len(self._bloom_bits)
-        dirty = False
         for fp in fps:
-            self._bloom_bits[U.bloom_positions_py(int(fp), m)] = True
-            dirty = True
-        self._bloom_dirty = self._bloom_dirty or dirty
+            U.bloom_set_packed_py(self._bloom_bits, int(fp))
+            self._bloom_dirty = True
+
+    def _bloom_fold_delta(self, c: DataFrame, n_new: int) -> None:
+        """Fold a step's discovery delta into the bitmap executor-side:
+        per-partition packed-bitmap build over the MATERIALIZED candidate
+        frame, driver ORs <= fold_partitions ~MB blobs.  The frame may
+        include prereq-shape-killed rows — a stale bit only adds
+        exact-verify work, never drops (superset invariant preserved)."""
+        if self._bloom_bits is None or n_new == 0:
+            return
+        self._bloom_bits |= U.build_bloom_packed(
+            c.select("url_fp"), "url_fp", self._bloom_nbits,
+            fold_partitions=8)
+        self._bloom_dirty = True
 
     def _maybe_activate_bloom(self) -> None:
         cfg = self.cfg
         if (cfg.use_bloom_prefilter and self._bloom_bits is None
                 and not self._bloom_suspended
                 and self._seen_count >= cfg.bloom_min_seen):
-            self._bloom_bits = U.build_bloom_bits(
+            self._bloom_nbits = cfg.bloom_bits
+            self._bloom_bits = U.build_bloom_packed(
                 self.seen, "url_fp", cfg.bloom_bits)
             self._bloom_dirty = True
             self._bloom_was_active = True
@@ -570,8 +583,6 @@ class CrawlJob:
             ck = r["class_key"]
             surviving = int(r["cnt"]) - kills_by_ck.get(ck, 0)
             self._seen_count += surviving
-            if "cfps" in r.__fields__ and r["cfps"]:
-                self._bloom_note(r["cfps"])
             if r["existing"] is None:
                 if surviving == 0:
                     # Every candidate of the would-be queue was a killed
@@ -933,9 +944,11 @@ class CrawlJob:
                 if v is not None and (ck not in me or int(v) < me[ck]):
                     me[ck] = int(v)
         self._me_map = me
-        self._bloom_adapt(sum(
-            int(r["cnt"]) for r in stats
-            if "cnt" in r.__fields__ and r["cnt"]))
+        n_new = sum(int(r["cnt"]) for r in stats
+                    if "cnt" in r.__fields__ and r["cnt"])
+        self._bloom_adapt(n_new)
+        self._bloom_fold_delta(c, n_new)
+        _mark("bloom_delta")
 
         # --- lineage / metrics / fetched (journal + stats + writer) --------
         events = sel.select(
