@@ -32,6 +32,11 @@ SEED_HOSTS = int(os.environ.get("SPARK_GRAFT_SEED_HOSTS", "200"))
 # executors real parallel work (the scaling lever at bench scale).
 WINDOW_MS = int(os.environ.get("SPARK_GRAFT_WINDOW_MS", "960000"))
 BURST_MAX = int(os.environ.get("SPARK_GRAFT_BURST", "256"))
+# The bench measures the 100x-safe engine by default: the URL-seen set
+# lives in the durable BUCKETED table (storage-partitioned anti-join, one
+# Exchange) rather than the in-memory union chain.  Set =0 to compare.
+DURABLE_SEEN = os.environ.get("SPARK_GRAFT_DURABLE_SEEN", "1") not in ("",
+                                                                       "0")
 
 
 def _spark(cores: int):
@@ -94,7 +99,8 @@ def bench_crawl(spark, work_root: str) -> dict:
         images=spark.read.parquet(paths["images"]),
         robots_rules=spark.read.parquet(paths["robots"]),
         host_config=spark.read.parquet(paths["host_config"]),
-        work_dir=work, checkpoint_interval=100)
+        work_dir=work, checkpoint_interval=100,
+        durable_seen=DURABLE_SEEN)
     if BENCH_MODE == "frontier":
         seed_df = spark.range(spec.n_images).select(
             url_of_expr(F.col("id"), spec.n_hosts).alias("url"),
@@ -119,13 +125,30 @@ def bench_crawl(spark, work_root: str) -> dict:
         processed += job.superstep()
         steps += 1
     elapsed = time.time() - t0
-    return {
+    out = {
         "crawl_spec": spec.name,
         "crawl_steps_measured": steps,
         "crawl_urls_processed": processed,
         "crawl_sec": round(elapsed, 2),
         "crawl_urls_per_sec": round(processed / elapsed, 1) if elapsed else 0,
+        "crawl_durable_seen": DURABLE_SEEN,
     }
+    if DURABLE_SEEN:
+        # Assert the storage-partitioned anti-join shape on the measured
+        # engine: bucketed seen side, exactly ONE Exchange (candidates).
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cand = (spark.range(5000)
+                    .select(F.xxhash64(F.col("id").cast("string"))
+                            .alias("url_fp")))
+            plan = (cand.join(job.seen, "url_fp", "left_anti")
+                    ._jdf.queryExecution().executedPlan().toString())
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        out["seen_anti_join_exchanges"] = plan.count("Exchange")
+        out["seen_bucketed"] = "Bucketed: true" in plan
+    return out
 
 
 def main() -> None:

@@ -12,32 +12,46 @@ as ``Window.partitionBy(class_key).orderBy(directive, cost, ordinal)``),
 LinksScoper.java`` + ``FrontierScheduler.java`` (candidate pipeline),
 ``util/BdbUriUniqFilter.java`` (URL-seen: exact anti-join on ``seen``).
 
-Dataflow per superstep (DataFrame ops, zero per-row Python; exactly FOUR
-Spark jobs and ONE driver collect per step):
+Dataflow per superstep (DataFrame ops, zero per-row Python; FIVE Spark
+jobs and ONE driver collect per step — every per-step job touches ONLY
+the narrow HOT frontier columns, URL strings never enter a per-step
+shuffle):
 
-    burst  = frontier ⋈ broadcast(queue_state) → salted two-phase
+    burst  = frontier_hot ⋈ broadcast(queue_state) → salted two-phase
              row_number per class_key over (directive, cost, ordinal)
              (rank<=k filters rewritten to map-side + final
              WindowGroupLimit — Zipf-head queues cost bounded top-k,
-             never an unbounded sort) → robots verdict (broadcast rules,
-             longest-prefix HOF expr) → image-existence (once-built
+             never an unbounded sort) → robots verdict (a precomputed
+             hot bool — rules are crawl-static, evaluated once per
+             unique URL at discovery) → image-existence (once-built
              sorted-id Arrow probe; broadcast join for small corpora) →
              quota verdict → running sums of virtual time + budget
              charge → prefix-closed include predicate
-    sel    = localCheckpoint(burst rows)            [job 1]
-    links  = outlinks_of(sel 200s) → scope fold → intra-batch dedup
-             (window) → anti-join seen ON url_fp → per-queue ordinals
-             (window)                               [job 2]
+    sel    = localCheckpoint(burst HOT rows)        [job 1]
+    links  = outlinks_of(cold ⋈ broadcast(sel 200s) — one shuffle-free
+             string-attach scan) → scope fold → robots verdict →
+             intra-batch dedup (window) → anti-join seen ON url_fp →
+             per-queue ordinals (window)            [job 2]
     stats  = ONE union aggregate: per-queue burst effects (wake/charge/
              retry-min) ∪ candidate counts ∪ min-earliest of untouched
              frontier rows — feeds the vectorized pandas queue merge,
              prerequisite injection for new queues, AND the virtual
              clock (no separate clock job)          [job 3, 1 collect]
-    frontier' = frontier anti-join(sel) ∪ retry-updates ∪ new rows
-                                                    [job 4]
-    lineage/fetched/metrics/seen-delta append lazily off ``sel``; durable
-    parquet snapshot + manifest line every checkpoint_interval steps
-    (exact resume — Iceberg-snapshot analog via SnapshotCatalog)
+    new    = localCheckpoint(new rows, strings included — read by the
+             journal, the seen delta, the hot merge and the cold
+             append)                                [job 4]
+    hot'   = frontier_hot anti-join(sel) ∪ retry-updates ∪ new(hot)
+                                                    [job 5]
+    cold'  = cold ∪ new(strings) — LAZY append-only union of
+             materialized increments; compacted to live fingerprints at
+             checkpoint time (never scanned by the scheduling law)
+    (+ a bloom-delta fold job while the prefilter is active and
+     discovering — executor-side packed bitmaps, ~MB driver traffic)
+    lineage/fetched/metrics/seen-delta append lazily off ``sel`` carrying
+    url_fp only; URL strings attach at checkpoint flush from the cold
+    table (same deferred pattern as the payload join); durable parquet
+    snapshot + manifest line every checkpoint_interval steps (exact
+    resume — Iceberg-snapshot analog via SnapshotCatalog)
 
 State placement: the frontier, seen set, candidate batches and payloads —
 everything O(URLs) — live in DataFrames, hash-partitioned by class_key /
@@ -108,6 +122,38 @@ FRONTIER_FIELDS = [
 FRONTIER_SCHEMA = T.StructType([T.StructField(n, t) for n, t in FRONTIER_FIELDS])
 FRONTIER_COLS = [n for n, _ in FRONTIER_FIELDS]
 
+# Hot/cold frontier split (the Amdahl fix for the N→4N scaling gate): the
+# per-step window shuffles, anti-joins and frontier rewrites touch ONLY the
+# narrow HOT scheduling columns (~80 B/row of mostly longs); the cold URL
+# strings (~5x the bytes) live in an append-only side table keyed by
+# url_fp, scanned once per step (broadcast-probe, no shuffle) to attach
+# strings to the bounded burst, and compacted to live fingerprints at
+# checkpoint time.  ``precluded`` is the robots verdict, crawl-constant
+# here (static rule table, exactly like the oracle) and therefore computed
+# once per unique URL at candidate time instead of per dequeue.
+HOT_FIELDS = [
+    ("url_fp", T.LongType()), ("class_key", T.StringType()),
+    ("image_id", T.StringType()), ("kind", T.StringType()),
+    ("directive", T.IntegerType()), ("cost", T.IntegerType()),
+    ("ordinal", T.LongType()), ("is_seed", T.BooleanType()),
+    ("retries", T.IntegerType()), ("earliest_ts", T.LongType()),
+    ("precluded", T.BooleanType()),
+]
+HOT_SCHEMA = T.StructType([T.StructField(n, t) for n, t in HOT_FIELDS])
+HOT_COLS = [n for n, _ in HOT_FIELDS]
+COLD_FIELDS = [
+    ("url_fp", T.LongType()), ("url", T.StringType()),
+    ("canon_url", T.StringType()), ("host", T.StringType()),
+    ("hops_path", T.StringType()), ("via", T.StringType()),
+]
+COLD_SCHEMA = T.StructType([T.StructField(n, t) for n, t in COLD_FIELDS])
+COLD_COLS = [n for n, _ in COLD_FIELDS]
+# Full-row schema carried by candidate/prereq frames before the split.
+NEW_COLS = FRONTIER_COLS + ["precluded"]
+NEW_SCHEMA = T.StructType(
+    list(FRONTIER_SCHEMA.fields)
+    + [T.StructField("precluded", T.BooleanType())])
+
 QUEUE_COLS = ["class_key", "wake_ts", "balance", "expenditure", "retired",
               "next_ordinal", "successes", "fetches"]
 QUEUE_SCHEMA = ("class_key string, wake_ts long, balance long,"
@@ -115,6 +161,11 @@ QUEUE_SCHEMA = ("class_key string, wake_ts long, balance long,"
                 " successes long, fetches long")
 
 _ORD = ["_ord_ck", "_ord_rn", "_ord_j"]  # total candidate arrival order
+
+# Candidate-input schema (LinksScoper input rows).
+CAND_SCHEMA = ("url string, hops_path string, via string, is_seed boolean,"
+               " directive int, earliest_ts long, _ord_ck string,"
+               " _ord_rn int, _ord_j int")
 
 
 _QUEUE_DTYPES = {"wake_ts": "int64", "balance": "int64",
@@ -220,7 +271,9 @@ class CrawlJob:
         self.now = 0
         self.step = 0
         self.done = False
-        self.frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
+        self.frontier_hot = spark.createDataFrame([], HOT_SCHEMA)
+        self.frontier_cold = spark.createDataFrame([], COLD_SCHEMA)
+        self._cold_dirty_steps = 0
         self.queues = _empty_queue_pdf()
         self.host_state = _empty_host_pdf()
         if durable_seen:
@@ -286,8 +339,31 @@ class CrawlJob:
 
     # ------------------------------------------------------------------ util
 
+    @property
+    def frontier(self) -> DataFrame:
+        """The full frontier view (hot scheduling columns ⋈ cold URL
+        strings) in the historical FRONTIER_COLS schema — the external /
+        checkpoint surface.  The superstep loop never builds this; it is
+        reconstructed on demand and at checkpoint commits."""
+        return (self.frontier_hot.join(self.frontier_cold, "url_fp")
+                .select(*FRONTIER_COLS))
+
+    def _split_frontier(self, full: DataFrame) -> None:
+        """Load hot+cold state from a FRONTIER_COLS frame (resume path) —
+        the robots verdict is recomputed from the static rules (it is not
+        part of the durable schema)."""
+        full = R.join_rules(full, self.rules)
+        full = full.withColumn(
+            "precluded",
+            (F.col("kind") == C.KIND_REAL)
+            & R.disallowed_expr(path_expr(F.col("url")),
+                                F.col("robots_rules"))).drop("robots_rules")
+        self.frontier_hot = self._ck(full.select(*HOT_COLS))
+        self.frontier_cold = self._ck(full.select(*COLD_COLS))
+        self._cold_dirty_steps = 0
+
     def _ck(self, df: DataFrame) -> DataFrame:
-        """Materialize with bounded partition count.
+        """Materialize with bounded partition count AND bounded statistics.
 
         The per-step state merges are unions; left alone, partition counts
         grow additively every superstep (40 steps → ~10^3 partitions of
@@ -298,9 +374,28 @@ class CrawlJob:
         serialized+lz4 blocks were measured 36% slower end-to-end at 32
         cores — the frontier is re-scanned 2-3x per superstep and repeated
         deserialization costs more than the bytes saved.
+
+        Stats firewall: ``localCheckpoint`` preserves the origin plan's
+        ESTIMATED sizeInBytes on the resulting LogicalRDD.  The crawl's
+        candidate→frontier feedback loop joins two hot-descended frames
+        every superstep, and Catalyst's size-only estimator takes the
+        PRODUCT of child estimates for joins — so the carried BigInt
+        squares per step, its bit-length doubles, and by ~step 20 the
+        driver spends minutes per step in BigInteger.multiply (measured:
+        3s → 159s/step on a 200-URL fixture).  Re-wrapping the
+        materialized RDD as a fresh LogicalRDD drops the origin stats;
+        join planning falls to AQE's runtime sizes, and every explicitly
+        small side is already ``F.broadcast``-hinted.
         """
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "8"))
-        return df.coalesce(n).localCheckpoint(eager=True)
+        out = df.coalesce(n).localCheckpoint(eager=True)
+        try:
+            jdf = out._jdf
+            fresh = self.spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False)
+            return DataFrame(fresh, self.spark)
+        except Exception:  # non-classic sessions: keep the checkpoint
+            return out
 
     def _seen_write(self, df: DataFrame, mode: str = "append") -> None:
         (df.write.mode(mode)
@@ -343,10 +438,13 @@ class CrawlJob:
         c = self._ck(self._candidate_plan(cand))
         stats = c.groupBy("class_key").agg(*self._cand_aggs()).collect()
         pre, offsets, kills = self._merge_candidate_queues(stats)
-        new_rows = (self._finish_candidates(c, offsets, kills)
-                    .select(*FRONTIER_COLS).unionByName(pre))
+        new_rows = self._ck(self._finish_candidates(c, offsets, kills)
+                            .select(*NEW_COLS).unionByName(pre))
         self._journal_scheduled(new_rows)
-        self.frontier = self._ck(self.frontier.unionByName(new_rows))
+        self.frontier_hot = self._ck(
+            self.frontier_hot.unionByName(new_rows.select(*HOT_COLS)))
+        self.frontier_cold = self._ck(
+            self.frontier_cold.unionByName(new_rows.select(*COLD_COLS)))
         seen_delta = self._ck(new_rows.select("url_fp", "canon_url"))
         self._seen_add(seen_delta)
         self._pending["seen"].append(seen_delta)
@@ -440,6 +538,15 @@ class CrawlJob:
             .withColumn("kind", F.lit(C.KIND_REAL))
             .withColumn("retries", F.lit(0).cast("int"))
         )
+        # Robots verdict (R2) once per unique URL at discovery — the rule
+        # table is crawl-static (same normative simplification as the
+        # oracle), so the per-dequeue evaluation Heritrix does reduces to
+        # a precomputed hot column; the burst never needs URL strings.
+        c = R.join_rules(c, self.rules)
+        c = c.withColumn(
+            "precluded",
+            R.disallowed_expr(path_expr(F.col("url")),
+                              F.col("robots_rules"))).drop("robots_rules")
         w_q = Window.partitionBy("class_key").orderBy(*_ORD)
         c = c.withColumn("_r", F.row_number().over(w_q))
         c = c.join(
@@ -541,7 +648,7 @@ class CrawlJob:
         kills: set[str] = set()
         rows = [r for r in stats
                 if "cnt" in r.__fields__ and r["cnt"]]
-        empty = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        empty = self.spark.createDataFrame([], NEW_SCHEMA)
         if not rows:
             return empty, offsets, kills
         # --- claim pass: arrival-ordered prereq canon claims -----------
@@ -656,7 +763,8 @@ class CrawlJob:
             .withColumn("is_seed", F.lit(False))
             .withColumn("retries", F.lit(0).cast("int"))
             .withColumn("earliest_ts", F.col("_wake"))
-            .select(*FRONTIER_COLS)
+            .withColumn("precluded", F.lit(False))
+            .select(*NEW_COLS)
         )
         return pre.coalesce(1), offsets, kills
 
@@ -717,7 +825,7 @@ class CrawlJob:
                 [], "class_key string, wake_ts long, balance long"
                     + (", successes long, fetches long" if quota_on
                        else ""))
-        elig = self.frontier.join(F.broadcast(qdf), "class_key")
+        elig = self.frontier_hot.join(F.broadcast(qdf), "class_key")
         elig = elig.where(F.col("earliest_ts")
                           <= F.greatest(F.col("wake_ts"), F.lit(now)))
         # Hot-host skew defusal (north_star: explicit salting): two-phase
@@ -734,12 +842,10 @@ class CrawlJob:
                 salt_count=cfg.partition_salt)
              .withColumn("_rn", F.col("_rn") - 1))
 
-        b = R.join_rules(a, self.rules)
-        b = b.withColumn(
-            "_precluded",
-            (F.col("kind") == C.KIND_REAL)
-            & R.disallowed_expr(path_expr(F.col("url")),
-                                F.col("robots_rules"))).drop("robots_rules")
+        # Robots verdict: a precomputed hot column (set per unique URL at
+        # candidate time — rules are crawl-static, so this is the exact
+        # per-dequeue verdict with zero per-step string work).
+        b = a.withColumn("_precluded", F.col("precluded"))
         if self._img_exists_udf is not None:
             b = b.withColumn(
                 "_exists", F.when(
@@ -844,19 +950,34 @@ class CrawlJob:
         # --- extract + candidate pipeline (off the materialized burst) -----
         ok_plan = sel.where((F.col("status") == C.S_OK)
                             & (F.col("kind") == C.KIND_REAL))
-        parents = ok_plan.select(
-            "url", "hops_path",
-            F.col("class_key").alias("_ord_ck"),
-            F.col("_rn").alias("_ord_rn"),
-            F.col("fetch_end").alias("_pts"))
-        links = outlinks_of(parents, self.spec)
-        cand = links.select(
-            "url", "hops_path", "via",
-            F.lit(False).alias("is_seed"),
-            F.lit(C.NORMAL).cast("int").alias("directive"),
-            F.col("_pts").alias("earliest_ts"),
-            "_ord_ck", "_ord_rn", F.col("link_idx").alias("_ord_j"))
-        c = self._ck(self._candidate_plan(cand))
+        if ok_plan.isEmpty():
+            # Drain/retry step: no successful real fetch → no outlinks.
+            # A local empty candidate relation lets Catalyst collapse the
+            # whole pipeline (PropagateEmptyRelation) — no job 2 at all.
+            c = self._candidate_plan(
+                self.spark.createDataFrame([], CAND_SCHEMA))
+        else:
+            # Attach URL strings to the bounded burst: one broadcast-probe
+            # scan of the cold table per step — the cold side never
+            # shuffles, and only the selected 200-rows' strings
+            # materialize.
+            parents_hot = ok_plan.select(
+                "url_fp",
+                F.col("class_key").alias("_ord_ck"),
+                F.col("_rn").alias("_ord_rn"),
+                F.col("fetch_end").alias("_pts"))
+            parents = (self.frontier_cold
+                       .join(F.broadcast(parents_hot), "url_fp")
+                       .select("url", "hops_path", "_ord_ck", "_ord_rn",
+                               "_pts"))
+            links = outlinks_of(parents, self.spec)
+            cand = links.select(
+                "url", "hops_path", "via",
+                F.lit(False).alias("is_seed"),
+                F.lit(C.NORMAL).cast("int").alias("directive"),
+                F.col("_pts").alias("earliest_ts"),
+                "_ord_ck", "_ord_rn", F.col("link_idx").alias("_ord_j"))
+            c = self._ck(self._candidate_plan(cand))
         _mark("cand_ck")
 
         # --- ONE O(#queues) stats job: burst effects ∪ candidate counts ----
@@ -883,7 +1004,7 @@ class CrawlJob:
                          F.col("fetch_end")
                          + F.lit(cfg.retry_delay_ms))).alias("rme"))
         cand_stats = c.groupBy("class_key").agg(*self._cand_aggs())
-        rem_stats = (self.frontier
+        rem_stats = (self.frontier_hot
                      .join(F.broadcast(sel.select("url_fp")),
                            "url_fp", "left_anti")
                      .groupBy("class_key")
@@ -932,6 +1053,8 @@ class CrawlJob:
             self.queues = _normalize_queues(q.reset_index())
         _mark("pandas_merge")
         pre, offsets, kills = self._merge_candidate_queues(stats)
+        n_new = sum(int(r["cnt"]) for r in stats
+                    if "cnt" in r.__fields__ and r["cnt"])
         _mark("cand_merge")
 
         # Rebuild the clock map: post-merge frontier = untouched rows (ome)
@@ -944,16 +1067,18 @@ class CrawlJob:
                 if v is not None and (ck not in me or int(v) < me[ck]):
                     me[ck] = int(v)
         self._me_map = me
-        n_new = sum(int(r["cnt"]) for r in stats
-                    if "cnt" in r.__fields__ and r["cnt"])
         self._bloom_adapt(n_new)
         self._bloom_fold_delta(c, n_new)
         _mark("bloom_delta")
 
         # --- lineage / metrics / fetched (journal + stats + writer) --------
+        # Pending sinks carry only hot columns + url_fp; URL strings are
+        # attached ONCE per checkpoint from the cold table (same deferred
+        # pattern as the payload join) — per-step sink lineage never
+        # touches strings.
         events = sel.select(
-            F.lit(self.step).alias("crawl_step"), "class_key", "url",
-            "canon_url", "url_fp", "kind", "is_seed", "directive", "cost",
+            F.lit(self.step).alias("crawl_step"), "class_key",
+            "url_fp", "kind", "is_seed", "directive", "cost",
             "ordinal",
             (F.col("retries") + F.when(F.col("event") == C.EV_RETRY,
                                        F.lit(1)).otherwise(F.lit(0)))
@@ -979,30 +1104,55 @@ class CrawlJob:
         # Payload join deferred to checkpoint time: parts are unioned and
         # joined against `images` once per checkpoint, not once per step.
         self._pending["fetched"].append(ok.select(
-            F.lit(self.step).alias("crawl_step"), "url", "canon_url",
-            "url_fp", "class_key", "image_id", "hops_path", "via",
+            F.lit(self.step).alias("crawl_step"),
+            "url_fp", "class_key", "image_id",
             "fetch_start", "fetch_end",
             F.col("status").alias("fetch_status")))
 
         # --- frontier merge (finished(): remove / retry-requeue) -----------
-        removed = self.frontier.join(
+        # Hot merge is the per-step materialization (narrow rows only);
+        # the cold table just appends the new rows' strings — retry rows'
+        # strings are already present, removed rows' strings are dropped
+        # lazily at checkpoint-time compaction.
+        removed = self.frontier_hot.join(
             F.broadcast(sel.select("url_fp")), "url_fp", "left_anti")
         retry = (sel.where(F.col("event") == C.EV_RETRY)
                  .withColumn("retries", (F.col("retries") + 1).cast("int"))
                  .withColumn("earliest_ts",
                              (F.col("fetch_end")
                               + F.lit(cfg.retry_delay_ms)).cast("long"))
-                 .select(*FRONTIER_COLS))
-        new_rows = (self._finish_candidates(c, offsets, kills)
-                    .select(*FRONTIER_COLS).unionByName(pre))
-        self._journal_scheduled(new_rows)
+                 .select(*HOT_COLS))
+        # One materialization of the step's new rows (strings included):
+        # journal, seen delta, hot merge and the cold append all read this
+        # frame — the cold union chain is then pure materialized scans,
+        # never a re-execution of the candidate windows.  Zero-discovery
+        # steps (sum cnt == 0 ⇒ no candidates survived scope/dedup/seen
+        # and no queues were created) skip the job outright.
+        if n_new == 0:
+            new_rows = self.spark.createDataFrame([], NEW_SCHEMA)
+        else:
+            new_rows = self._ck(self._finish_candidates(c, offsets, kills)
+                                .select(*NEW_COLS).unionByName(pre))
+            self._journal_scheduled(new_rows)
         _mark("plan_build")
-        self.frontier = self._ck(
-            removed.unionByName(retry).unionByName(new_rows))
+        merged = removed.unionByName(retry)
+        if n_new:
+            merged = merged.unionByName(new_rows.select(*HOT_COLS))
+        self.frontier_hot = self._ck(merged)
+        if n_new:
+            self.frontier_cold = self.frontier_cold.unionByName(
+                new_rows.select(*COLD_COLS))
+            self._cold_dirty_steps += 1
+        if self._cold_dirty_steps >= 10:
+            # Bound the cold union-chain depth between checkpoints (the
+            # appends are lazy; only this compaction copies the strings).
+            self.frontier_cold = self._ck(self.frontier_cold)
+            self._cold_dirty_steps = 0
         _mark("frontier_ck")
-        seen_delta = new_rows.select("url_fp", "canon_url").coalesce(1)
-        self._seen_add(seen_delta)
-        self._pending["seen"].append(seen_delta)
+        if n_new:
+            seen_delta = new_rows.select("url_fp", "canon_url").coalesce(1)
+            self._seen_add(seen_delta)
+            self._pending["seen"].append(seen_delta)
 
         self.step += 1
         if self.step % 10 == 0 and not self.durable_seen:
@@ -1034,21 +1184,43 @@ class CrawlJob:
         return processed
 
     def checkpoint(self) -> None:
-        """Durable multi-table commit (Checkpointer analog, exact resume)."""
+        """Durable multi-table commit (Checkpointer analog, exact resume).
+
+        String attachment happens HERE, once per checkpoint: pending
+        lineage/fetched parts carry only ``url_fp`` + hot columns; their
+        URL strings join in from the cold table (append-only since the
+        last checkpoint, so every pending fingerprint is present), after
+        which the cold table is compacted to the live frontier's
+        fingerprints."""
         step = self.step
         if (self.catalog.latest() or {}).get("step") == step:
             return
+        cold = self._ck(self.frontier_cold)
+        self.frontier_cold = cold
+        self._cold_dirty_steps = 0
         for table, parts in self._pending.items():
             parts = [p for p in parts if p is not None]
             if parts:
                 df = parts[0]
                 for p in parts[1:]:
                     df = df.unionByName(p)
+                if table == "lineage":
+                    df = (df.join(cold.select("url_fp", "url", "canon_url"),
+                                  "url_fp", "left")
+                          .select("crawl_step", "class_key", "url",
+                                  "canon_url", "url_fp", "kind", "is_seed",
+                                  "directive", "cost", "ordinal", "retries",
+                                  "status", "fetch_start", "fetch_end",
+                                  "event"))
                 if table == "fetched":
-                    # Payload join + content digest (HTTPContentDigest X4;
-                    # null digest when the fixture carries no payload —
-                    # payload-less fixtures type the all-null bytes column
-                    # as non-binary, so gate on the actual type).
+                    # String + payload join + content digest
+                    # (HTTPContentDigest X4; null digest when the fixture
+                    # carries no payload — payload-less fixtures type the
+                    # all-null bytes column as non-binary, so gate on the
+                    # actual type).
+                    df = df.join(cold.select("url_fp", "url", "canon_url",
+                                             "hops_path", "via"),
+                                 "url_fp", "left")
                     df = df.join(self.images, "image_id", "left")
                     digest = (F.sha1(F.col("bytes"))
                               if dict(df.dtypes).get("bytes") == "binary"
@@ -1056,7 +1228,15 @@ class CrawlJob:
                     df = df.withColumn("content_digest", digest)
                 self.catalog.write(table, df, step)
             self._pending[table] = []
-        self.catalog.write("frontier", self.frontier, step)
+        self.catalog.write(
+            "frontier",
+            self.frontier_hot.join(cold, "url_fp").select(*FRONTIER_COLS),
+            step)
+        # Compact cold to live fingerprints by re-reading the snapshot
+        # just written (no second join).
+        self.frontier_cold = self._ck(
+            self.catalog.read_snapshot("frontier", step)
+            .select(*COLD_COLS))
         qdf = (self.spark.createDataFrame(self.queues[QUEUE_COLS])
                if len(self.queues) else self.spark.createDataFrame(
                    [], QUEUE_SCHEMA))
@@ -1088,7 +1268,7 @@ class CrawlJob:
         job.step = step
         job.now = cp["state"]["now"]
         job.done = cp["state"].get("done", False)
-        job.frontier = job._ck(
+        job._split_frontier(
             job.catalog.read_snapshot("frontier", step).select(*FRONTIER_COLS))
         qpdf = job.catalog.read_snapshot("queue_state", step).toPandas()
         job.queues = (_normalize_queues(qpdf[QUEUE_COLS]) if len(qpdf)
@@ -1119,7 +1299,7 @@ class CrawlJob:
         # Clock map: one per-queue aggregate over the restored frontier.
         job._me_map = {
             r["class_key"]: int(r["me"]) for r in
-            job.frontier.groupBy("class_key")
+            job.frontier_hot.groupBy("class_key")
             .agg(F.min("earliest_ts").alias("me")).collect()}
         job._seen_count = job.seen.count()
         job._maybe_activate_bloom()
