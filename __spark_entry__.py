@@ -186,6 +186,47 @@ def q_first_arrival_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "event_type"))
 
 
+def q_queue_assign_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 SurtAuthorityQueueAssignmentPolicy + scheduler law: URLs keyed
+    by SURT authority (functions.queue_assign.queue_key_expr — the same
+    policy expr CrawlJob's candidate pipeline uses when
+    queue_assignment='surt'), then the engine's salted top-k window."""
+    from heritrix_spark.functions.queue_assign import queue_key_expr
+    from heritrix_spark.operators.schedule import top_k_per_queue
+    d = _doc_ids(spark, sf_dir)
+    url = F.concat(F.lit("http://h"),
+                   (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".example.test/p/"),
+                   F.col("doc_id").cast("string"))
+    d = d.withColumn("class_key", queue_key_expr(url, "surt"))
+    return (top_k_per_queue(d, ["class_key"], [F.col("doc_id").asc()], 5,
+                            rank_col="rn", salt_col="doc_id",
+                            salt_count=4)
+            .select("doc_id", "class_key", "rn")
+            .orderBy("doc_id"))
+
+
+def q_quota_bytes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 byte-quota law shape: the pre-quota running sum over the same
+    per-key window the engine's mid-burst check uses (usage accrued
+    BEFORE each row decides whether the row is blocked)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # The synthetic lineitem carries duplicate (orderkey, linenumber)
+    # keys; quantity+price tiebreakers make the running sum a total
+    # order so both engines compute the identical prefix sums.
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.coalesce(
+        F.sum(F.col("l_quantity").cast("long")).over(w), F.lit(0))
+    return (li.select("l_suppkey", "l_orderkey", "l_linenumber",
+                      prior.alias("prior_qty"),
+                      (prior >= 3000).alias("blocked"))
+            .orderBy("l_suppkey", "l_orderkey", "l_linenumber",
+                     "prior_qty"))
+
+
 # ---------------------------------------------------------------------------
 # URL-layer functions (canonicalizer C1-C3, SURT C4, classKey F7,
 # cost F9-F12, hops X3, scope fold S1-S9, robots R2) — messy inputs are
@@ -470,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "hop_type_counts": q_hop_type_counts,
         "first_arrival_dedup": q_first_arrival_dedup,
+        "queue_assign_surt": q_queue_assign_surt,
+        "quota_bytes_window": q_quota_bytes_window,
         "canonicalize": q_canonicalize,
         "surt": q_surt,
         "class_key": q_class_key,
@@ -674,6 +717,30 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY CAST(user_id AS VARCHAR) || ':' || event_type
                 ORDER BY ts, event_id) = 1
             ORDER BY user_id, event_type
+        """,
+        "queue_assign_surt": """
+            SELECT doc_id,
+                   'test,example,h' || (doc_id % 50) || ',' AS class_key,
+                   rn
+            FROM (SELECT doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id % 50
+                                            ORDER BY doc_id ASC) AS rn
+                  FROM documents)
+            WHERE rn <= 5 ORDER BY doc_id
+        """,
+        "quota_bytes_window": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)) OVER w,
+                       0) AS BIGINT) AS prior_qty,
+                   COALESCE(SUM(CAST(l_quantity AS BIGINT)) OVER w,
+                       0) >= 3000 AS blocked
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY l_orderkey, l_linenumber, l_quantity,
+                                  l_extendedprice
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+            ORDER BY l_suppkey, l_orderkey, l_linenumber, prior_qty
         """,
         "canonicalize": """
             SELECT doc_id,

@@ -78,6 +78,12 @@ S_TOO_MANY_RETRIES = -6
 # QuotaEnforcer verdict (value engine-normative pending reconciliation
 # with FetchStatusCodes.java).
 S_BLOCKED_BY_QUOTA = -5003
+# Preselector re-check verdict (P1, recheck_scope_at_dequeue): a frontier
+# item that no longer passes the CURRENT scope fold at dequeue time —
+# disregarded unfetched, 0 virtual ms.  Value engine-normative pending
+# reconciliation with FetchStatusCodes.java (Heritrix's out-of-scope
+# family sits in the -5000 block).
+S_OUT_OF_SCOPE = -5001
 
 # Lineage / RecoveryJournal event tags.
 EV_SCHEDULED = "F+"
@@ -90,6 +96,14 @@ EV_EMITTED = "Fe"
 # Virtual-time lattice (ms). fetch_ms = LATTICE_MS * (1 + url_fp mod 4).
 LATTICE_MS = 500
 DNS_FETCH_MS = 500
+
+# Virtual payload-size lattice (bytes).  The sandbox fetch is simulated, so
+# the byte quota's accounting size is a deterministic virtual size — the
+# exact analog of the virtual fetch_ms lattice: a real 200 downloads
+# PAYLOAD_LATTICE_B * (1 + url_fp mod 8) bytes; prerequisites and
+# non-200 dispositions account 0 (the quota tracks successful content
+# download, mirroring QuotaEnforcer's success-bytes counter).
+PAYLOAD_LATTICE_B = 4096
 
 # Deterministic transient-failure rule: first attempt of a real URI whose
 # fingerprint ≡ 0 (mod RETRY_MOD) returns 503.
@@ -118,10 +132,12 @@ class CrawlConfig:
     # items are disposed S_BLOCKED_BY_QUOTA (disregarded, 0 virtual ms)
     # and the queue is retired after the burst — the set-based image of
     # Heritrix disregarding every subsequent dequeue from an over-quota
-    # host.  (Byte quotas are a checkpoint-time report query here: payload
-    # bytes only exist after the fetched-table join, by design.)
+    # host.  max_bytes_per_host quotas SUCCESS bytes (the virtual payload
+    # lattice, payload_bytes_of) mid-burst with the same pre-quota
+    # running-sum law as the count quotas.
     max_successes_per_host: int = -1
     max_fetches_per_host: int = -1
+    max_bytes_per_host: int = -1
     burst_max: int = 64
     window_ms: int = 60_000
     # Hot-host skew defusal (north_star: explicit salting).  The burst
@@ -149,6 +165,22 @@ class CrawlConfig:
     bloom_min_seen: int = 100_000
     bloom_bits: int = 1 << 23
     cost_policy: str = "unit"  # unit | wag | anticalendar
+    # QueueAssignmentPolicy (F8): how URLs map to work queues.
+    #   hostname — HostnameQueueAssignmentPolicy (default): lowercase
+    #              host, ":port" when nonstandard;
+    #   ip       — IPQueueAssignmentPolicy over the deterministic sandbox
+    #              DNS answer (the same value FetchDNS lands in
+    #              host_state.ip);
+    #   surt     — SurtAuthorityQueueAssignmentPolicy: reversed host
+    #              labels, comma-joined, trailing comma;
+    #   bucket   — fixed queue_buckets hash buckets of the host (one host
+    #              never splits across queues).
+    # All policies key on the URL's HOST, so a host's dns:/robots
+    # prerequisites co-locate with its real URLs.  Prerequisite insertion
+    # is an idempotent per-candidate attempt (see HeritrixSim._get_queue),
+    # which reduces to insertion-at-queue-creation under hostname.
+    queue_assignment: str = "hostname"
+    queue_buckets: int = 64
     honor_crawl_delay: bool = False  # engine superset mode (SURVEY §2.H R3)
     # Scope (DecideRule fold)
     max_link_hops: int = 20
@@ -168,6 +200,13 @@ class CrawlConfig:
     # (URIRegExpFilter include mode).  Prerequisites bypass both.
     reject_regex: str | None = None
     accept_regex: str | None = None
+    # Preselector (P1): when True, every REAL dequeue re-applies the
+    # CURRENT scope fold before fetching; items that no longer pass are
+    # disposed S_OUT_OF_SCOPE (disregarded, 0 virtual ms) — needed the
+    # moment scope config tightens mid-crawl (set_config).  OFF by
+    # default: the fold is idempotent under a static scope, so the
+    # discovery-time verdict is exact and the re-check pure overhead.
+    recheck_scope_at_dequeue: bool = False
     max_steps: int = 10_000
 
     def politeness_ms(self, fetch_ms: int, crawl_delay_ms: int = 0) -> int:
@@ -183,6 +222,14 @@ def fetch_ms_of(url_fp: int, kind: str) -> int:
     if kind == KIND_DNS:
         return DNS_FETCH_MS
     return LATTICE_MS * (1 + url_fp % 4)  # Python floored % == Spark pmod
+
+
+def payload_bytes_of(url_fp: int, kind: str) -> int:
+    """Deterministic virtual payload size of a successful real fetch —
+    the byte-quota accounting size (4–32 KiB lattice)."""
+    if kind != KIND_REAL:
+        return 0
+    return PAYLOAD_LATTICE_B * (1 + url_fp % 8)
 
 
 def is_retry_status(url_fp: int, retries: int) -> bool:

@@ -167,6 +167,61 @@ def outlinks_html(fetched: DataFrame, url_col: str = "url",
             .drop("_l", "parent_hops", html_col))
 
 
+_CSS_URL_RE = r"(?i)url\(\s*[\"']?([^\"')\s][^\"')]*)[\"']?\s*\)"
+_CSS_IMPORT_RE = r"(?i)@import\s+[\"']([^\"']+)[\"']"
+
+
+def outlinks_css(fetched: DataFrame, url_col: str = "url",
+                 css_col: str = "css",
+                 hops_col: str = "hops_path") -> DataFrame:
+    """ExtractorCSS — stylesheet link extraction, same output schema as
+    :func:`outlinks_html` (``via``, ``link_idx``, ``url``, ``hop``,
+    ``hops_path``).  Heritrix parity (class anchor):
+    ``org/archive/crawler/extractor/ExtractorCSS.java`` — ``url(...)``
+    tokens and ``@import "..."`` / ``@import url(...)`` rules, all hop
+    type E (embed).  JVM-side throughout: ``regexp_extract_all`` +
+    higher-order ``transform`` resolution + one ``posexplode``."""
+    resolve = _resolve_expr(F.col(url_col))
+    # @import url(...) is matched by the url() pattern; the quoted-string
+    # @import form needs its own pattern.  De-dup across the two is left
+    # to the candidate pipeline (UriUniqFilter), as in the reference.
+    refs = F.concat(
+        F.regexp_extract_all(F.col(css_col), F.lit(_CSS_URL_RE), 1),
+        F.regexp_extract_all(F.col(css_col), F.lit(_CSS_IMPORT_RE), 1))
+    links = F.transform(refs, lambda u: F.struct(
+        resolve(u).alias("u"), F.lit("E").alias("hop")))
+    df = (fetched
+          .select("*", F.posexplode(links).alias("link_idx", "_l"))
+          .withColumnRenamed(url_col, "via")
+          .withColumnRenamed(hops_col, "parent_hops"))
+    return (df.withColumn("url", F.col("_l.u"))
+            .withColumn("hop", F.col("_l.hop"))
+            .withColumn("hops_path",
+                        F.concat(F.col("parent_hops"), F.col("hop")))
+            .drop("_l", "parent_hops", css_col))
+
+
+def outlinks_js(fetched: DataFrame, url_col: str = "url",
+                js_col: str = "js",
+                hops_col: str = "hops_path") -> DataFrame:
+    """ExtractorJS — quoted absolute URLs inside script bodies, hop type
+    X (speculative).  Heritrix parity (class anchor):
+    ``org/archive/crawler/extractor/ExtractorJS.java``.  Same output
+    schema as :func:`outlinks_html`."""
+    urls = F.regexp_extract_all(F.col(js_col), F.lit(_SCRIPT_URL_RE), 1)
+    links = F.transform(urls, lambda u: F.struct(
+        u.alias("u"), F.lit("X").alias("hop")))
+    df = (fetched
+          .select("*", F.posexplode(links).alias("link_idx", "_l"))
+          .withColumnRenamed(url_col, "via")
+          .withColumnRenamed(hops_col, "parent_hops"))
+    return (df.withColumn("url", F.col("_l.u"))
+            .withColumn("hop", F.col("_l.hop"))
+            .withColumn("hops_path",
+                        F.concat(F.col("parent_hops"), F.col("hop")))
+            .drop("_l", "parent_hops", js_col))
+
+
 def outlinks_of(fetched: DataFrame, spec: FixtureSpec) -> DataFrame:
     """Explode fetched pages into candidate links.
 

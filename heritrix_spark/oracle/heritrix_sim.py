@@ -24,11 +24,11 @@ from heritrix_spark import config as C
 from heritrix_spark.fixtures import websim
 from heritrix_spark.functions.canonicalize import (
     canonicalize_py,
-    class_key_py,
     host_of_py,
     path_of_py,
 )
 from heritrix_spark.functions.cost import POLICIES_PY
+from heritrix_spark.functions.queue_assign import queue_key_py
 from heritrix_spark.functions.fingerprint import url_fp_py
 from heritrix_spark.operators.scope import scope_accepts_py
 
@@ -62,6 +62,7 @@ class Queue:
     next_ordinal: int = 0
     successes: int = 0  # real-fetch 200s (QuotaEnforcer counter)
     fetches: int = 0  # real-fetch responses, any status
+    bytes: int = 0  # success payload bytes (virtual lattice)
     items: list[Item] = field(default_factory=list)
 
 
@@ -72,38 +73,53 @@ class HeritrixSim:
         self.spec = spec
         self.cfg = cfg
         self.cost_of = POLICIES_PY[cfg.cost_policy]
-        self.prefixes = sorted(cfg.surt_prefixes)
         self.robots: dict[str, list[tuple[str, bool]]] = {}
         for host, prefix, allow, _ in websim.robots_rules(spec):
             self.robots.setdefault(host, []).append((prefix, allow))
         self.delays = websim.crawl_delays(spec)
+        self.set_config(cfg)
         self.queues: dict[str, Queue] = {}
         self.seen: set[str] = set()
         self.fetch_log: list[dict[str, Any]] = []
         self.now = 0
         self.step = 0
 
+    def set_config(self, cfg: C.CrawlConfig) -> None:
+        """Swap the live config (mid-crawl scope tightening, P1 recheck
+        tests) — derived caches are rebuilt; queue state is untouched."""
+        self.cfg = cfg
+        self.cost_of = POLICIES_PY[cfg.cost_policy]
+        self.prefixes = sorted(cfg.surt_prefixes)
+
     # -- scheduling ---------------------------------------------------------
 
-    def _get_queue(self, class_key: str, discovery_ts: int) -> Queue:
+    def _get_queue(self, class_key: str, discovery_ts: int,
+                   host: str) -> Queue:
+        """Queue of ``class_key``, creating it on first use, plus the
+        idempotent per-candidate prerequisite attempt (PreconditionEnforcer
+        P2): the candidate's HOST gets its dns:/robots items inserted into
+        THIS queue unless their canons are already claimed.  Under the
+        hostname policy this reduces exactly to insertion-at-queue-creation
+        (later attempts find both canons claimed); under many-to-one
+        policies (ip/bucket) each new host arriving in a shared queue
+        still gets its prerequisites."""
         q = self.queues.get(class_key)
         if q is None:
             q = Queue(class_key, wake_ts=discovery_ts,
                       balance=self.cfg.balance_replenish)
             self.queues[class_key] = q
-            host = class_key.split(":", 1)[0]
-            for kind, url in ((C.KIND_DNS, f"dns:{host}"),
-                              (C.KIND_ROBOTS, f"http://{host}/robots.txt")):
-                canon = canonicalize_py(url)
-                if canon in self.seen:
-                    continue
-                self.seen.add(canon)
-                q.items.append(Item(
-                    url=url, canon=canon, fp=url_fp_py(canon), kind=kind,
-                    directive=C.HIGH, cost=1, ordinal=q.next_ordinal,
-                    hops_path="P", via="", is_seed=False,
-                    earliest_ts=discovery_ts))
-                q.next_ordinal += 1
+        for kind, url in ((C.KIND_DNS, f"dns:{host}"),
+                          (C.KIND_ROBOTS, f"http://{host}/robots.txt")):
+            canon = canonicalize_py(url)
+            if canon in self.seen:
+                continue
+            self.seen.add(canon)
+            q.items.append(Item(
+                url=url, canon=canon, fp=url_fp_py(canon), kind=kind,
+                directive=C.HIGH, cost=1, ordinal=q.next_ordinal,
+                hops_path="P", via="", is_seed=False,
+                earliest_ts=discovery_ts))
+            q.next_ordinal += 1
         return q
 
     def schedule(self, url: str, hops_path: str, via: str, is_seed: bool,
@@ -115,7 +131,10 @@ class HeritrixSim:
         if canon in self.seen:
             return False
         self.seen.add(canon)
-        q = self._get_queue(class_key_py(url), discovery_ts)
+        q = self._get_queue(
+            queue_key_py(url, self.cfg.queue_assignment,
+                         self.cfg.queue_buckets),
+            discovery_ts, host_of_py(url))
         q.items.append(Item(
             url=url, canon=canon, fp=url_fp_py(canon), kind=C.KIND_REAL,
             directive=directive, cost=self.cost_of(url),
@@ -147,6 +166,12 @@ class HeritrixSim:
     def _status(self, item: Item) -> int:
         if item.kind != C.KIND_REAL:
             return C.S_OK
+        # Preselector re-check (P1) runs FIRST in the prefetch chain —
+        # before the robots verdict and the quota gate.
+        if (self.cfg.recheck_scope_at_dequeue
+                and not scope_accepts_py(self.cfg, item.url, item.hops_path,
+                                         self.prefixes)):
+            return C.S_OUT_OF_SCOPE
         if self._robots_disallowed(item.url):
             return C.S_ROBOTS_PRECLUDED
         if C.is_retry_status(item.fp, item.retries):
@@ -191,16 +216,21 @@ class HeritrixSim:
                 if rn >= cfg.burst_max or s >= horizon or charged >= q.balance:
                     break
                 status = self._status(item)
-                # QuotaEnforcer (P3): runs after the robots verdict; an
-                # over-quota host's real items are disregarded unfetched.
+                # QuotaEnforcer (P3): runs after the scope + robots
+                # verdicts; an over-quota host's real items are
+                # disregarded unfetched (count AND byte quotas).
                 if (item.kind == C.KIND_REAL
-                        and status != C.S_ROBOTS_PRECLUDED
+                        and status not in (C.S_ROBOTS_PRECLUDED,
+                                           C.S_OUT_OF_SCOPE)
                         and ((0 <= cfg.max_successes_per_host
                               <= q.successes)
                              or (0 <= cfg.max_fetches_per_host
-                                 <= q.fetches))):
+                                 <= q.fetches)
+                             or (0 <= cfg.max_bytes_per_host
+                                 <= q.bytes))):
                     status = C.S_BLOCKED_BY_QUOTA
-                if status in (C.S_ROBOTS_PRECLUDED, C.S_BLOCKED_BY_QUOTA):
+                if status in (C.S_ROBOTS_PRECLUDED, C.S_BLOCKED_BY_QUOTA,
+                              C.S_OUT_OF_SCOPE):
                     fetch_start = fetch_end = s
                     event = C.EV_DISREGARD
                     done.append(item)
@@ -209,6 +239,7 @@ class HeritrixSim:
                         q.fetches += 1
                         if status == C.S_OK:
                             q.successes += 1
+                            q.bytes += C.payload_bytes_of(item.fp, item.kind)
                     fetch_ms = C.fetch_ms_of(item.fp, item.kind)
                     delay = cfg.politeness_ms(
                         fetch_ms, self.delays.get(q.class_key, 0))
@@ -254,7 +285,8 @@ class HeritrixSim:
             if 0 <= cfg.total_budget <= q.expenditure:
                 q.retired = True
             if (0 <= cfg.max_successes_per_host <= q.successes
-                    or 0 <= cfg.max_fetches_per_host <= q.fetches):
+                    or 0 <= cfg.max_fetches_per_host <= q.fetches
+                    or 0 <= cfg.max_bytes_per_host <= q.bytes):
                 q.retired = True  # quota exhausted — queue retired
         for url, hops, via, ts in candidates:
             self.schedule(url, hops, via, False, C.NORMAL, ts)

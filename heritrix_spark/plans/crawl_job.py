@@ -79,6 +79,7 @@ north_rule forbids).
 
 from __future__ import annotations
 
+import bisect
 import os
 import time
 
@@ -96,12 +97,15 @@ from heritrix_spark.fixtures.websim import FixtureSpec
 from heritrix_spark.functions.canonicalize import (
     canonicalize_expr,
     canonicalize_py,
-    class_key_expr,
     host_expr,
     path_expr,
 )
 from heritrix_spark.functions.cost import POLICIES_EXPR
 from heritrix_spark.functions.fingerprint import url_fp_py
+from heritrix_spark.functions.queue_assign import (
+    ip_of_host_py,
+    queue_key_expr,
+)
 from heritrix_spark.operators import robots as R
 from heritrix_spark.operators import uniq as U
 from heritrix_spark.operators.extract import image_id_expr, outlinks_of
@@ -155,10 +159,10 @@ NEW_SCHEMA = T.StructType(
     + [T.StructField("precluded", T.BooleanType())])
 
 QUEUE_COLS = ["class_key", "wake_ts", "balance", "expenditure", "retired",
-              "next_ordinal", "successes", "fetches"]
+              "next_ordinal", "successes", "fetches", "bytes"]
 QUEUE_SCHEMA = ("class_key string, wake_ts long, balance long,"
                 " expenditure long, retired boolean, next_ordinal long,"
-                " successes long, fetches long")
+                " successes long, fetches long, bytes long")
 
 _ORD = ["_ord_ck", "_ord_rn", "_ord_j"]  # total candidate arrival order
 
@@ -171,7 +175,7 @@ CAND_SCHEMA = ("url string, hops_path string, via string, is_seed boolean,"
 _QUEUE_DTYPES = {"wake_ts": "int64", "balance": "int64",
                  "expenditure": "int64", "retired": "bool",
                  "next_ordinal": "int64", "successes": "int64",
-                 "fetches": "int64"}
+                 "fetches": "int64", "bytes": "int64"}
 
 
 def _empty_queue_pdf() -> pd.DataFrame:
@@ -203,10 +207,9 @@ def _empty_host_pdf() -> pd.DataFrame:
     })
 
 
-def ip_of_host(host: str) -> str:
-    """Deterministic simulated DNS answer (FetchDNS T1)."""
-    h = url_fp_py(f"ip:{host}")
-    return f"10.{(h >> 16) % 256}.{(h >> 8) % 256}.{h % 256}"
+# Deterministic simulated DNS answer (FetchDNS T1) — shared with the
+# IP queue-assignment policy (functions/queue_assign.py).
+ip_of_host = ip_of_host_py
 
 
 def _normalize_queues(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -436,9 +439,10 @@ class CrawlJob:
         """Seed injection from a DataFrame of candidate-schema rows — the
         scalable path for large seed lists / full-frontier bench replays."""
         c = self._ck(self._candidate_plan(cand))
-        stats = c.groupBy("class_key").agg(*self._cand_aggs()).collect()
-        pre, offsets, kills = self._merge_candidate_queues(stats)
-        new_rows = self._ck(self._finish_candidates(c, offsets, kills)
+        stats = c.groupBy("class_key", "host").agg(
+            *self._cand_aggs()).collect()
+        pre, wmap, kills = self._merge_candidate_queues(stats)
+        new_rows = self._ck(self._finish_candidates(c, wmap, kills)
                             .select(*NEW_COLS).unionByName(pre))
         self._journal_scheduled(new_rows)
         self.frontier_hot = self._ck(
@@ -459,31 +463,46 @@ class CrawlJob:
 
     # ------------------------------------------------------------- candidates
 
-    def _finish_candidates(self, c: DataFrame, offsets: dict[str, int],
+    def _finish_candidates(self, c: DataFrame,
+                           wmap: dict[tuple[str, str], tuple[int, int]],
                            kills: set[str]) -> DataFrame:
         """Apply the driver-decided batch effects to the candidate frame:
         drop killed prereq-shaped rows (their canon was already claimed),
-        re-rank ordinals if anything was dropped, and shift real ordinals
-        down where queue prerequisites were skipped."""
+        then assign final ordinals under the sequential law —
+
+            ordinal = next_ordinal0 + (post-kill rank − 1)
+                      + (prerequisites inserted at-or-before this row)
+
+        where the prerequisite-insert positions come from ``wmap``
+        (per-(queue, host): how many dns/robots items the host's first
+        arrival actually inserted, at which pre-kill rank).  This is the
+        set-at-a-time image of the oracle's per-candidate attempt loop."""
         if kills:
             kdf = F.broadcast(self.spark.createDataFrame(
                 [(k,) for k in sorted(kills)], "canon_url string"))
             w_q = Window.partitionBy("class_key").orderBy(*_ORD)
             c = (c.join(kdf, "canon_url", "left_anti")
-                 .withColumn("_r", F.row_number().over(w_q))
-                 .withColumn("ordinal",
-                             (F.coalesce(F.col("next_ordinal"), F.lit(2))
-                              + F.col("_r") - 1).cast("long")))
-        nz = {k: v for k, v in offsets.items() if v}
-        if not nz:
-            return c
-        off = F.broadcast(self.spark.createDataFrame(
-            list(nz.items()), "class_key string, _off int"))
-        return (c.join(off, "class_key", "left")
-                .withColumn("ordinal",
-                            (F.col("ordinal")
-                             - F.coalesce(F.col("_off"), F.lit(0)))
-                            .cast("long")))
+                 .withColumn("_i", F.row_number().over(w_q)))
+        else:
+            c = c.withColumn("_i", F.col("_r"))
+        if wmap:
+            wdf = F.broadcast(self.spark.createDataFrame(
+                [(ck, h, w, gminr)
+                 for (ck, h), (w, gminr) in sorted(wmap.items())],
+                "class_key string, host string, _npre int, _gminr int"))
+            c = c.join(wdf, ["class_key", "host"], "left")
+            mark = F.when(F.col("_r") == F.col("_gminr"), F.col("_npre"))
+            w_cum = (Window.partitionBy("class_key").orderBy(*_ORD)
+                     .rowsBetween(Window.unboundedPreceding, 0))
+            c = (c.withColumn(
+                    "_W", F.sum(F.coalesce(mark, F.lit(0))).over(w_cum))
+                 .drop("_npre", "_gminr"))
+        else:
+            c = c.withColumn("_W", F.lit(0))
+        return c.withColumn(
+            "ordinal",
+            (F.coalesce(F.col("next_ordinal"), F.lit(0))
+             + F.col("_i") - 1 + F.col("_W")).cast("long"))
 
     def _candidate_plan(self, cand: DataFrame) -> DataFrame:
         """Candidate pipeline (lazy): scope fold → canonicalize →
@@ -527,7 +546,9 @@ class CrawlJob:
         c = (
             c.withColumn("_pshape", F.col("canon_url").rlike(
                 r"^(dns:|https?://[^/?#]*/robots\.txt$)"))
-            .withColumn("class_key", class_key_expr(F.col("url")))
+            .withColumn("class_key",
+                        queue_key_expr(F.col("url"), cfg.queue_assignment,
+                                       cfg.queue_buckets))
             .withColumn("host", host_expr(F.col("url")))
             .withColumn("image_id", F.when(
                 image_id_expr(F.col("url")).isNotNull(),
@@ -547,30 +568,32 @@ class CrawlJob:
             "precluded",
             R.disallowed_expr(path_expr(F.col("url")),
                               F.col("robots_rules"))).drop("robots_rules")
+        # Pre-kill per-QUEUE arrival rank (_r): the raw position each
+        # candidate would take; final ordinals are assigned in
+        # _finish_candidates after the driver decides kills + per-host
+        # prerequisite inserts.
         w_q = Window.partitionBy("class_key").orderBy(*_ORD)
         c = c.withColumn("_r", F.row_number().over(w_q))
-        c = c.join(
+        return c.join(
             F.broadcast(self._queues_df(["class_key", "next_ordinal"])),
             "class_key", "left")
-        return c.withColumn(
-            "ordinal",
-            (F.coalesce(F.col("next_ordinal"), F.lit(2))
-             + F.col("_r") - 1).cast("long"))
 
     def _cand_aggs(self) -> list:
-        """Per-queue candidate aggregates (driver queue merge inputs)."""
+        """Per-(queue, host) candidate aggregates (driver merge inputs).
+        Grouping is (class_key, host): under the hostname policy that is
+        1:1 with class_key; under many-to-one policies (ip/bucket) each
+        host-group carries its own prerequisite-attempt bookkeeping."""
         aggs = [
             F.count("*").alias("cnt"),
             F.max("next_ordinal").alias("existing"),
-            F.max("host").alias("chost"),
+            F.min("_r").alias("gminr"),
             F.min("earliest_ts").alias("cme"),
-            F.min(F.when(F.col("_r") == 1, F.col("earliest_ts")))
-            .alias("cwake"),
-            F.min(F.when(F.col("_r") == 1,
-                         F.struct("_ord_ck", "_ord_rn", "_ord_j")))
-            .alias("cord"),
+            F.min_by("earliest_ts",
+                     F.struct("_ord_ck", "_ord_rn", "_ord_j"))
+            .alias("gfirst_ts"),
+            F.min(F.struct("_ord_ck", "_ord_rn", "_ord_j")).alias("cord"),
             F.collect_list(F.when(F.col("_pshape"), F.struct(
-                "_ord_ck", "_ord_rn", "_ord_j", "canon_url")))
+                "_ord_ck", "_ord_rn", "_ord_j", "canon_url", "_r")))
             .alias("pshapes"),
         ]
         return aggs
@@ -625,42 +648,46 @@ class CrawlJob:
 
     def _merge_candidate_queues(self, stats):
         """Driver-side queue effects of a candidate batch: next_ordinal
-        bumps + queue creation.  Returns (prereq rows, ordinal offsets,
-        kills): the dns/robots prerequisite items for newly created queues
-        (PreconditionEnforcer semantics); per new queue, how many
-        prerequisites were *skipped* because their canonical URL was
-        already claimed (real ordinals shift down by that offset — the
-        UriUniqFilter counter only advances on actual inserts); and the
-        canons of prereq-SHAPED candidates (e.g. a seeded robots.txt URL)
-        whose canon was claimed first by a queue prerequisite in this same
-        batch — those rows are dropped, first-arrival-wins, exactly like
-        the oracle's sequential seen-set claims.
+        bumps, queue creation, and per-HOST prerequisite insertion.
+        Returns (prereq rows, wmap, kills):
 
-        Claim ordering replays the oracle's arrival order: queue-creation
-        events fire at the queue's first candidate arrival, prereq-shaped
-        candidates claim at their own arrival (a candidate claims before
-        the queue it creates inserts its prerequisites, matching
-        ``HeritrixSim.schedule`` → ``_get_queue`` order).  All pandas
-        updates are vectorized; the only Python loop is over new queues +
-        prereq-shaped candidates (rare), never over ordinary candidates."""
+        * prereq rows — the dns/robots items actually inserted this batch
+          (PreconditionEnforcer semantics), with their exact sequential-law
+          ordinals;
+        * ``wmap[(class_key, host)] = (n_inserted, gminr)`` — the ordinal-
+          shift inputs :meth:`_finish_candidates` folds into candidate
+          ordinals;
+        * kills — canons of prereq-SHAPED candidates (e.g. a seeded
+          robots.txt URL) claimed first by a host's prerequisite attempt
+          in this same batch; those rows are dropped, first-arrival-wins,
+          exactly like the oracle's sequential seen-set claims.
+
+        Claim ordering replays the oracle's arrival order: each
+        (queue, host) group fires one prerequisite ATTEMPT at its first
+        arrival (the idempotent per-candidate attempt law — only the first
+        arrival can insert), prereq-shaped candidates claim at their own
+        arrival, and a candidate claims before its host's attempt
+        (matching ``HeritrixSim.schedule`` → ``_get_queue`` order).  All
+        pandas updates are vectorized; the only Python loop is over
+        (queue, host) groups + prereq-shaped candidates, never over
+        ordinary candidates."""
         cfg = self.cfg
-        offsets: dict[str, int] = {}
         kills: set[str] = set()
+        wmap: dict[tuple[str, str], tuple[int, int]] = {}
         rows = [r for r in stats
                 if "cnt" in r.__fields__ and r["cnt"]]
         empty = self.spark.createDataFrame([], NEW_SCHEMA)
         if not rows:
-            return empty, offsets, kills
+            return empty, wmap, kills
         # --- claim pass: arrival-ordered prereq canon claims -----------
         events: list[tuple[tuple, int, str, object]] = []
         for r in rows:
-            if r["existing"] is None:
-                events.append((tuple(r["cord"]), 1, "queue", r))
+            events.append((tuple(r["cord"]), 1, "host", r))
             for p in (r["pshapes"] or []):
                 events.append(((p["_ord_ck"], p["_ord_rn"], p["_ord_j"]),
                                0, "cand", p))
         events.sort(key=lambda e: (e[0], e[1]))
-        ins_by_ck: dict[str, tuple[bool, bool]] = {}
+        ins_by_g: dict[tuple[str, str], tuple[bool, bool]] = {}
         for _arr, _tie, typ, obj in events:
             if typ == "cand":
                 canon = obj["canon_url"]
@@ -669,55 +696,81 @@ class CrawlJob:
                 else:
                     self._prereq_canons.add(canon)
             else:
-                host = obj["chost"]
+                host = obj["host"]
                 ins = []
                 for u in (f"dns:{host}", f"http://{host}/robots.txt"):
                     cu = canonicalize_py(u)
                     ins.append(cu not in self._prereq_canons)
                     self._prereq_canons.add(cu)
-                ins_by_ck[obj["class_key"]] = (ins[0], ins[1])
+                ins_by_g[(obj["class_key"], host)] = (ins[0], ins[1])
         # --- apply pass: vectorized queue-state merge ------------------
-        kills_by_ck: dict[str, int] = {}
+        kills_by_g: dict[tuple[str, str], int] = {}
+        killed_rs_by_ck: dict[str, list[int]] = {}
         for r in rows:
+            g = (r["class_key"], r["host"])
             for p in (r["pshapes"] or []):
                 if p["canon_url"] in kills:
-                    kills_by_ck[r["class_key"]] = (
-                        kills_by_ck.get(r["class_key"], 0) + 1)
-        new_hosts = []
+                    kills_by_g[g] = kills_by_g.get(g, 0) + 1
+                    killed_rs_by_ck.setdefault(g[0], []).append(
+                        int(p["_r"]))
+        by_ck: dict[str, list] = {}
+        for r in rows:
+            by_ck.setdefault(r["class_key"], []).append(r)
+        pre_rows = []  # (ck, host, first_ts, dns_i, rob_i, base_ordinal)
         new_qrows = []
         bump_ck, bump_n = [], []
-        for r in rows:
-            ck = r["class_key"]
-            surviving = int(r["cnt"]) - kills_by_ck.get(ck, 0)
-            self._seen_count += surviving
-            if r["existing"] is None:
-                if surviving == 0:
-                    # Every candidate of the would-be queue was a killed
-                    # prereq-shaped row — the oracle never creates it.
-                    # (Its claims were recorded above; the doubly-
-                    # pathological interleaving where that matters is
-                    # documented as out of equivalence scope.)
-                    offsets.pop(ck, None)
+        for ck, grs in by_ck.items():
+            grs.sort(key=lambda r: int(r["gminr"]))
+            killed_rs = sorted(killed_rs_by_ck.get(ck, []))
+            existing = grs[0]["existing"]
+            next0 = int(existing) if existing is not None else 0
+            total_surv, total_w = 0, 0
+            wake = None
+            for r in grs:
+                g = (ck, r["host"])
+                surv = int(r["cnt"]) - kills_by_g.get(g, 0)
+                self._seen_count += surv
+                if surv == 0:
+                    # Every row of the group was a killed prereq-shaped
+                    # candidate — the oracle never attempts its host's
+                    # prerequisites.  (The attempt's claims above were
+                    # recorded; the doubly-pathological interleaving
+                    # where that matters is documented as out of
+                    # equivalence scope.)
                     continue
-                dns_i, rob_i = ins_by_ck[ck]
-                n_pre = int(dns_i) + int(rob_i)
-                offsets[ck] = 2 - n_pre
-                self._seen_count += n_pre
-                if self._bloom_bits is not None and n_pre:
-                    host = r["chost"]
-                    self._bloom_note(
-                        url_fp_py(canonicalize_py(u))
-                        for u, ins in ((f"dns:{host}", dns_i),
-                                       (f"http://{host}/robots.txt", rob_i))
-                        if ins)
-                new_qrows.append((ck, int(r["cwake"]),
-                                  cfg.balance_replenish, 0, False,
-                                  surviving + n_pre, 0, 0))
-                new_hosts.append((ck, r["chost"], int(r["cwake"]),
-                                  dns_i, rob_i))
-            elif surviving:
+                if wake is None:
+                    wake = int(r["gfirst_ts"])
+                dns_i, rob_i = ins_by_g[g]
+                w = int(dns_i) + int(rob_i)
+                if w:
+                    self._seen_count += w
+                    if self._bloom_bits is not None:
+                        host = r["host"]
+                        self._bloom_note(
+                            url_fp_py(canonicalize_py(u))
+                            for u, ins in (
+                                (f"dns:{host}", dns_i),
+                                (f"http://{host}/robots.txt", rob_i))
+                            if ins)
+                    # Sequential-law base ordinal of this host's prereq
+                    # items: surviving candidates before the host's first
+                    # arrival + prerequisites inserted by earlier hosts.
+                    minr = int(r["gminr"])
+                    i_first = minr - bisect.bisect_left(killed_rs, minr)
+                    base = next0 + (i_first - 1) + total_w
+                    wmap[g] = (w, minr)
+                    pre_rows.append((ck, r["host"], int(r["gfirst_ts"]),
+                                     bool(dns_i), bool(rob_i), base))
+                total_w += w
+                total_surv += surv
+            if existing is None:
+                if total_surv == 0:
+                    continue
+                new_qrows.append((ck, wake, cfg.balance_replenish, 0,
+                                  False, total_surv + total_w, 0, 0, 0))
+            elif total_surv + total_w:
                 bump_ck.append(ck)
-                bump_n.append(surviving)
+                bump_n.append(total_surv + total_w)
         q = self.queues.set_index("class_key")
         if bump_ck:
             q.loc[bump_ck, "next_ordinal"] = (
@@ -728,13 +781,13 @@ class CrawlJob:
                 new_qrows, columns=QUEUE_COLS).set_index("class_key")
             q = pd.concat([q, add])
         self.queues = _normalize_queues(q.reset_index())
-        if not new_hosts:
-            return empty, offsets, kills
+        if not pre_rows:
+            return empty, wmap, kills
         nq = self.spark.createDataFrame(
-            new_hosts, "class_key string, host string, _wake long,"
-                       " _dns boolean, _rob boolean")
+            pre_rows, "class_key string, host string, _ts long,"
+                      " _dns boolean, _rob boolean, _base long")
         pre = nq.select(
-            "class_key", "host", "_wake", "_dns", "_rob",
+            "class_key", "host", "_ts", "_dns", "_rob", "_base",
             F.posexplode(F.array(
                 F.concat(F.lit("dns:"), F.col("host")),
                 F.concat(F.lit("http://"), F.col("host"),
@@ -756,17 +809,19 @@ class CrawlJob:
             .withColumn("directive", F.lit(C.HIGH).cast("int"))
             .withColumn("cost", F.lit(1).cast("int"))
             .withColumn("ordinal",
-                        F.when(F.col("_i") == 0, F.lit(0))
-                        .otherwise(F.col("_dns").cast("int")).cast("long"))
+                        (F.col("_base")
+                         + F.when(F.col("_i") == 0, F.lit(0))
+                         .otherwise(F.col("_dns").cast("int")))
+                        .cast("long"))
             .withColumn("hops_path", F.lit("P"))
             .withColumn("via", F.lit(""))
             .withColumn("is_seed", F.lit(False))
             .withColumn("retries", F.lit(0).cast("int"))
-            .withColumn("earliest_ts", F.col("_wake"))
+            .withColumn("earliest_ts", F.col("_ts"))
             .withColumn("precluded", F.lit(False))
             .select(*NEW_COLS)
         )
-        return pre.coalesce(1), offsets, kills
+        return pre.coalesce(1), wmap, kills
 
     # -------------------------------------------------------------- superstep
 
@@ -817,14 +872,15 @@ class CrawlJob:
 
         # --- burst selection (WorkQueueFrontier.next, set-at-a-time) -------
         quota_on = (cfg.max_successes_per_host >= 0
-                    or cfg.max_fetches_per_host >= 0)
+                    or cfg.max_fetches_per_host >= 0
+                    or cfg.max_bytes_per_host >= 0)
         live = self.queues[~self.queues["retired"]]
         qcols = ["class_key", "wake_ts", "balance"] + (
-            ["successes", "fetches"] if quota_on else [])
+            ["successes", "fetches", "bytes"] if quota_on else [])
         qdf = self.spark.createDataFrame(live[qcols]) if len(live) else             self.spark.createDataFrame(
                 [], "class_key string, wake_ts long, balance long"
-                    + (", successes long, fetches long" if quota_on
-                       else ""))
+                    + (", successes long, fetches long, bytes long"
+                       if quota_on else ""))
         elig = self.frontier_hot.join(F.broadcast(qdf), "class_key")
         elig = elig.where(F.col("earliest_ts")
                           <= F.greatest(F.col("wake_ts"), F.lit(now)))
@@ -841,6 +897,21 @@ class CrawlJob:
                 cfg.burst_max, rank_col="_rn", salt_col="url_fp",
                 salt_count=cfg.partition_salt)
              .withColumn("_rn", F.col("_rn") - 1))
+
+        # Preselector re-check (P1): re-apply the CURRENT scope fold to
+        # the bounded burst.  Needs URL strings, so the burst joins the
+        # cold table once (broadcast-probe, cold side never shuffles) —
+        # only when the flag is on; under a static scope the
+        # discovery-time verdict is exact and this step is skipped.
+        if cfg.recheck_scope_at_dequeue:
+            a = (self.frontier_cold.select("url_fp", "url", "hops_path")
+                 .join(F.broadcast(a), "url_fp"))
+            oos = ((F.col("kind") == C.KIND_REAL)
+                   & ~scope_accepts_expr(cfg, F.col("url"),
+                                         F.col("hops_path")))
+            a = a.withColumn("_oos", oos).drop("url", "hops_path")
+        else:
+            a = a.withColumn("_oos", F.lit(False))
 
         # Robots verdict: a precomputed hot column (set per unique URL at
         # candidate time — rules are crawl-static, so this is the exact
@@ -859,6 +930,7 @@ class CrawlJob:
         b = b.withColumn(
             "status",
             F.when(F.col("kind") != C.KIND_REAL, F.lit(C.S_OK))
+            .when(F.col("_oos"), F.lit(C.S_OUT_OF_SCOPE))
             .when(F.col("_precluded"), F.lit(C.S_ROBOTS_PRECLUDED))
             .when((F.col("retries") == 0)
                   & (F.pmod(F.col("url_fp"), F.lit(C.RETRY_MOD)) == 0),
@@ -875,20 +947,27 @@ class CrawlJob:
             # the sequential oracle blocks.
             wq = w.rowsBetween(Window.unboundedPreceding, -1)
             real = F.col("kind") == C.KIND_REAL
-            unfetched = F.col("_precluded")
-            csucc = F.coalesce(F.sum(
-                (real & ~unfetched & (F.col("status") == C.S_OK))
-                .cast("long")).over(wq), F.lit(0))
+            unfetched = F.col("_precluded") | F.col("_oos")
+            succ = real & ~unfetched & (F.col("status") == C.S_OK)
+            csucc = F.coalesce(F.sum(succ.cast("long")).over(wq), F.lit(0))
             cresp = F.coalesce(F.sum(
                 (real & ~unfetched).cast("long")).over(wq), F.lit(0))
+            pbytes = (F.lit(C.PAYLOAD_LATTICE_B)
+                      * (F.lit(1) + F.pmod(F.col("url_fp"), F.lit(8))))
+            cbytes = F.coalesce(F.sum(
+                F.when(succ, pbytes).otherwise(F.lit(0)).cast("long"))
+                .over(wq), F.lit(0))
             over_s = (F.lit(cfg.max_successes_per_host >= 0)
                       & (F.col("successes") + csucc
                          >= F.lit(max(cfg.max_successes_per_host, 0))))
             over_f = (F.lit(cfg.max_fetches_per_host >= 0)
                       & (F.col("fetches") + cresp
                          >= F.lit(max(cfg.max_fetches_per_host, 0))))
+            over_b = (F.lit(cfg.max_bytes_per_host >= 0)
+                      & (F.col("bytes") + cbytes
+                         >= F.lit(max(cfg.max_bytes_per_host, 0))))
             b = (b.withColumn("_blocked",
-                              real & ~unfetched & (over_s | over_f))
+                              real & ~unfetched & (over_s | over_f | over_b))
                  .withColumn("status",
                              F.when(F.col("_blocked"),
                                     F.lit(C.S_BLOCKED_BY_QUOTA))
@@ -911,7 +990,7 @@ class CrawlJob:
             delay = F.greatest(delay, F.coalesce(F.col("crawl_delay_ms"),
                                                  F.lit(0)))
             b = b.drop("crawl_delay_ms")
-        unfetched = F.col("_precluded") | F.col("_blocked")
+        unfetched = F.col("_precluded") | F.col("_blocked") | F.col("_oos")
         b = (b.withColumn("_fetch_ms", fetch_ms.cast("long"))
              .withColumn("_time_cost", F.when(unfetched, F.lit(0))
                          .otherwise(F.col("_fetch_ms") + delay)
@@ -991,8 +1070,14 @@ class CrawlJob:
             F.sum("_charge").alias("charged"),
             F.sum((real & (F.col("status") == C.S_OK)).cast("long"))
             .alias("rsucc"),
+            F.sum(F.when(
+                real & (F.col("status") == C.S_OK),
+                F.lit(C.PAYLOAD_LATTICE_B)
+                * (F.lit(1) + F.pmod(F.col("url_fp"), F.lit(8))))
+                .otherwise(F.lit(0)).cast("long")).alias("rbytes"),
             F.sum((real & ~F.col("status").isin(
-                C.S_ROBOTS_PRECLUDED, C.S_BLOCKED_BY_QUOTA)).cast("long"))
+                C.S_ROBOTS_PRECLUDED, C.S_BLOCKED_BY_QUOTA,
+                C.S_OUT_OF_SCOPE)).cast("long"))
             .alias("rresp"),
             F.sum((F.col("event") == C.EV_FAILURE).cast("long"))
             .alias("nfail"),
@@ -1003,7 +1088,7 @@ class CrawlJob:
             F.min(F.when(F.col("event") == C.EV_RETRY,
                          F.col("fetch_end")
                          + F.lit(cfg.retry_delay_ms))).alias("rme"))
-        cand_stats = c.groupBy("class_key").agg(*self._cand_aggs())
+        cand_stats = c.groupBy("class_key", "host").agg(*self._cand_aggs())
         rem_stats = (self.frontier_hot
                      .join(F.broadcast(sel.select("url_fp")),
                            "url_fp", "left_anti")
@@ -1039,8 +1124,11 @@ class CrawlJob:
                      + np.asarray([int(r["rsucc"]) for r in burst_rows]))
             nfet = (q.loc[idx, "fetches"].to_numpy("int64")
                     + np.asarray([int(r["rresp"]) for r in burst_rows]))
+            nbyt = (q.loc[idx, "bytes"].to_numpy("int64")
+                    + np.asarray([int(r["rbytes"]) for r in burst_rows]))
             q.loc[idx, "successes"] = nsucc
             q.loc[idx, "fetches"] = nfet
+            q.loc[idx, "bytes"] = nbyt
             retired = q.loc[idx, "retired"].to_numpy(bool)
             if cfg.total_budget >= 0:
                 retired = retired | (nexp >= cfg.total_budget)
@@ -1048,11 +1136,13 @@ class CrawlJob:
                 retired = retired | (nsucc >= cfg.max_successes_per_host)
             if cfg.max_fetches_per_host >= 0:
                 retired = retired | (nfet >= cfg.max_fetches_per_host)
+            if cfg.max_bytes_per_host >= 0:
+                retired = retired | (nbyt >= cfg.max_bytes_per_host)
             q.loc[idx, "retired"] = retired
             self._update_host_state(burst_rows)
             self.queues = _normalize_queues(q.reset_index())
         _mark("pandas_merge")
-        pre, offsets, kills = self._merge_candidate_queues(stats)
+        pre, wmap, kills = self._merge_candidate_queues(stats)
         n_new = sum(int(r["cnt"]) for r in stats
                     if "cnt" in r.__fields__ and r["cnt"])
         _mark("cand_merge")
@@ -1131,7 +1221,7 @@ class CrawlJob:
         if n_new == 0:
             new_rows = self.spark.createDataFrame([], NEW_SCHEMA)
         else:
-            new_rows = self._ck(self._finish_candidates(c, offsets, kills)
+            new_rows = self._ck(self._finish_candidates(c, wmap, kills)
                                 .select(*NEW_COLS).unionByName(pre))
             self._journal_scheduled(new_rows)
         _mark("plan_build")
@@ -1174,6 +1264,14 @@ class CrawlJob:
         return n_processed
 
     # ------------------------------------------------------------ lifecycle
+
+    def set_config(self, cfg: C.CrawlConfig) -> None:
+        """Swap the live config mid-crawl (scope tightening — pair with
+        ``recheck_scope_at_dequeue`` so already-queued items re-pass the
+        new fold at dequeue).  Crawl state is untouched; the next
+        superstep reads the new knobs.  Mirrors ``HeritrixSim.set_config``
+        for equivalence tests."""
+        self.cfg = cfg
 
     def run(self, max_steps: int | None = None) -> int:
         limit = max_steps if max_steps is not None else self.cfg.max_steps

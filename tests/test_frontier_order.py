@@ -115,6 +115,57 @@ def test_quota_enforcer_equivalence(spark, tmp_path):
     assert hs["ip"].notna().any()
 
 
+def test_byte_quota_equivalence(spark, tmp_path):
+    """P3 byte quota: once a host's success bytes (virtual payload
+    lattice) cross max_bytes_per_host, remaining items are disregarded
+    S_BLOCKED_BY_QUOTA mid-burst and the queue retires — engine
+    event-identical to the oracle."""
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        max_bytes_per_host=40_000)
+    sim, job = _run_pair(spark, tmp_path, "tiny", cfg, 10)
+    _assert_equal(sim, job)
+    blocked = [e for e in sim.fetch_log
+               if e["status"] == C.S_BLOCKED_BY_QUOTA]
+    assert blocked, "fixture never hit the byte quota — test is vacuous"
+    # retirement fired: every over-quota queue is retired
+    over = job.queues[job.queues["bytes"] >= 40_000]
+    assert over["retired"].all()
+
+
+def test_scope_recheck_mid_crawl_equivalence(spark, tmp_path):
+    """P1 Preselector re-check: scope tightens mid-crawl (reject_regex
+    added via set_config); already-queued items of the newly-rejected
+    host are disposed S_OUT_OF_SCOPE at dequeue, event-identical to the
+    oracle."""
+    import dataclasses
+
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        recheck_scope_at_dequeue=True)
+    spec = websim.SPECS["tiny"]
+    fixdir = tmp_path / "fix_recheck"
+    paths = gen.write_fixture(spec, str(fixdir))
+    seed_urls = websim.seeds(spec)
+    sim = HeritrixSim(spec, cfg)
+    sim.schedule_seeds(seed_urls)
+    job = CrawlJob(
+        spark, spec, cfg,
+        images=spark.read.parquet(paths["images"]),
+        robots_rules=spark.read.parquet(paths["robots"]),
+        host_config=spark.read.parquet(paths["host_config"]),
+        work_dir=str(tmp_path / "work_recheck"))
+    job.schedule_seeds(seed_urls)
+    sim.run(3)
+    job.run(3)
+    tightened = dataclasses.replace(cfg, reject_regex=r"h0000\.")
+    sim.set_config(tightened)
+    job.set_config(tightened)
+    sim.run(9)
+    job.run(9)
+    _assert_equal(sim, job)
+    oos = [e for e in sim.fetch_log if e["status"] == C.S_OUT_OF_SCOPE]
+    assert oos, "no queued item was re-rejected — test is vacuous"
+
+
 def test_bloom_prefilter_equivalence(spark, tmp_path):
     """With the broadcast bloom URL-seen prefilter forced active from
     step 0, the crawl is event-identical to the oracle — the bloom only
@@ -126,6 +177,33 @@ def test_bloom_prefilter_equivalence(spark, tmp_path):
     assert job._bloom_was_active  # the prefilter really ran
     if job._bloom_bits is not None:
         assert job._bloom_bits.any()
+
+
+@pytest.mark.parametrize("policy,buckets", [
+    ("ip", 64), ("surt", 64), ("bucket", 2)])
+def test_queue_assignment_policy_equivalence(spark, tmp_path, policy,
+                                             buckets):
+    """F8 queue-assignment policies as config: the crawl under ip / surt /
+    bucket classKeys is event-identical to the oracle (hostname is covered
+    by every other test).  bucket with 2 buckets forces MULTIPLE hosts
+    into one queue — the generalized per-host prerequisite law."""
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        queue_assignment=policy, queue_buckets=buckets)
+    sim, job = _run_pair(spark, tmp_path, "tiny", cfg, 8,
+                         seed_urls=websim.seeds(websim.SPECS["tiny"]))
+    _assert_equal(sim, job)
+    if policy == "bucket":
+        assert job.queues["class_key"].str.startswith("bucket-").all()
+        hosts = {e["class_key"] for e in sim.fetch_log}
+        n_hosts_fetched = len(
+            {host for q in sim.queues.values() for host in
+             {i.url.split("/")[2] for i in q.items if "//" in i.url}}
+            | {e["url"].split("/")[2] for e in sim.fetch_log
+               if "//" in e["url"]})
+        assert len(hosts) < n_hosts_fetched, \
+            "no queue ever held two hosts — test is vacuous"
+    if policy == "surt":
+        assert job.queues["class_key"].str.contains(",").all()
 
 
 @pytest.mark.slow

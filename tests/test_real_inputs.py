@@ -150,3 +150,48 @@ def test_outlinks_html_nofollow_and_no_base(spark):
            for r in outlinks_html(df).select("url", "hop").collect()}
     # nofollow drops navlinks, keeps embeds; no <base> → resolve vs page
     assert out == {("http://h.test/y.png", "E")}
+
+
+CSS_SHEET = """
+/* comment with url(http://ignore.test/in-comment) kept — reference
+   extracts from comments too (speculative) */
+body { background: url('/img/bg.png'); }
+.logo { background-image: url( "http://cdn.test/logo.svg" ); }
+.rel { background: url(icons/dot.gif); }
+@import "theme/extra.css";
+@import url(http://fonts.test/f.css);
+"""
+
+
+def test_outlinks_css_resolution_and_hops(spark):
+    from heritrix_spark.operators.extract import outlinks_css
+
+    df = spark.createDataFrame(
+        [("http://site.test/css/main.css", "LE", CSS_SHEET)],
+        "url string, hops_path string, css string")
+    out = outlinks_css(df).select("url", "hop", "hops_path").collect()
+    got = {r["url"] for r in out}
+    assert got == {
+        "http://ignore.test/in-comment",      # comment url() (speculative)
+        "http://site.test/img/bg.png",        # rooted
+        "http://cdn.test/logo.svg",           # absolute, quoted+spaced
+        "http://site.test/css/icons/dot.gif",  # relative to sheet dir
+        "http://site.test/css/theme/extra.css",  # @import string form
+        "http://fonts.test/f.css",            # @import url() form
+    }
+    assert all(r["hop"] == "E" and r["hops_path"] == "LEE" for r in out)
+
+
+def test_outlinks_js_speculative(spark):
+    from heritrix_spark.operators.extract import outlinks_js
+
+    js = ('var a = "http://api.test/v1/data";\n'
+          "fetch('https://cdn.test/bundle.js');\n"
+          'var notaurl = "just a string";')
+    df = spark.createDataFrame(
+        [("http://site.test/app.js", "L", js)],
+        "url string, hops_path string, js string")
+    out = outlinks_js(df).select("url", "hop", "hops_path").collect()
+    got = {r["url"] for r in out}
+    assert got == {"http://api.test/v1/data", "https://cdn.test/bundle.js"}
+    assert all(r["hop"] == "X" and r["hops_path"] == "LX" for r in out)
