@@ -281,6 +281,51 @@ def q_class_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_host_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 settings sheets: longest-suffix sheet resolution
+    (settings_group_expr) + the effective politeness law under the
+    resolved sheet (the same effective_settings dimension the crawl
+    engine broadcasts).  [H: org/archive/crawler/settings/
+    XMLSettingsHandler.java — per-domain refinement sheets]"""
+    from heritrix_spark import config as C
+    sheets = (
+        ("h7.example.test", (("min_delay_ms", 750),
+                             ("delay_factor", 1.0))),
+        ("example.test", (("min_delay_ms", 6000),)),
+        ("sub.example.test", (("delay_factor", 2.0),
+                              ("max_delay_ms", 8000))),
+    )
+    cfg = C.CrawlConfig(host_settings=sheets)
+    d = _doc_ids(spark, sf_dir)
+    host = (
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                        F.lit(".other.test")))
+        .when(F.col("doc_id") % 7 == 0,
+              F.concat(F.lit("x"), (F.col("doc_id") % 9).cast("string"),
+                       F.lit(".sub.example.test")))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                     F.lit(".example.test"))))
+    d = d.select("doc_id", host.alias("host"))
+    d = d.withColumn("sgroup", C.settings_group_expr(cfg, F.col("host")))
+    dims = F.broadcast(spark.createDataFrame(
+        [(g, float(e["delay_factor"]), e["min_delay_ms"],
+          e["max_delay_ms"])
+         for g, e in ((g, C.effective_settings(cfg, g))
+                      for g in range(len(sheets) + 1))],
+        "sgroup int, dfactor double, mind int, maxd int"))
+    d = d.join(dims, "sgroup")
+    fetch_ms = (F.lit(500) * (1 + F.pmod(F.col("doc_id"), F.lit(4))))
+    return d.select(
+        "doc_id", "host", "sgroup",
+        F.col("mind").alias("eff_min_delay_ms"),
+        F.least(F.greatest(F.col("dfactor") * fetch_ms,
+                           F.col("mind").cast("double")),
+                F.col("maxd").cast("double"))
+        .cast("long").alias("politeness_ms")).orderBy("doc_id")
+
+
 def q_cost_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wag + AntiCalendar cost policies F11/F12 over path-depth, query
     and calendar-trap variation."""
@@ -516,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "surt": q_surt,
         "class_key": q_class_key,
+        "host_settings": q_host_settings,
         "cost_policies": q_cost_policies,
         "hop_path_ops": q_hop_path_ops,
         "scope_fold": q_scope_fold,
@@ -760,6 +806,41 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN doc_id % 3 = 2 THEN ':8080' ELSE '' END
                        AS class_key
             FROM documents ORDER BY doc_id
+        """,
+        "host_settings": """
+            WITH h AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                            THEN 'h' || (doc_id % 50) || '.other.test'
+                          WHEN doc_id % 7 = 0
+                            THEN 'x' || (doc_id % 9) || '.sub.example.test'
+                          ELSE 'h' || (doc_id % 50) || '.example.test'
+                     END AS host
+              FROM documents),
+            g AS (
+              SELECT doc_id, host,
+                     CASE WHEN host = 'sub.example.test'
+                            OR host LIKE '%.sub.example.test' THEN 3
+                          WHEN host = 'h7.example.test'
+                            OR host LIKE '%.h7.example.test' THEN 1
+                          WHEN host = 'example.test'
+                            OR host LIKE '%.example.test' THEN 2
+                          ELSE 0 END AS sgroup
+              FROM h),
+            e AS (
+              SELECT *,
+                     CASE sgroup WHEN 1 THEN 1.0 WHEN 3 THEN 2.0
+                          ELSE 5.0 END AS dfactor,
+                     CASE sgroup WHEN 1 THEN 750 WHEN 2 THEN 6000
+                          ELSE 3000 END AS mind,
+                     CASE sgroup WHEN 3 THEN 8000 ELSE 30000 END AS maxd,
+                     500 * (1 + doc_id % 4) AS fetch_ms
+              FROM g)
+            SELECT doc_id, host, sgroup,
+                   CAST(mind AS INTEGER) AS eff_min_delay_ms,
+                   CAST(LEAST(GREATEST(dfactor * fetch_ms, mind), maxd)
+                        AS BIGINT) AS politeness_ms
+            FROM e ORDER BY doc_id
         """,
         "cost_policies": """
             WITH t AS (

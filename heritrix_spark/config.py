@@ -138,6 +138,21 @@ class CrawlConfig:
     max_successes_per_host: int = -1
     max_fetches_per_host: int = -1
     max_bytes_per_host: int = -1
+    # Per-host settings overrides (O5 — the settings-framework refinement
+    # sheets, [H: org/archive/crawler/settings/XMLSettingsHandler.java]:
+    # per-domain overrides of politeness/budget/quota knobs).  Each entry
+    # is ``(scope, ((field, value), ...))`` where scope is an exact host
+    # ("a.example.test") or a domain suffix ("example.test", matching the
+    # host and every subdomain); the MOST-SPECIFIC (longest) matching
+    # scope wins, exactly one sheet applies.  Overridable fields:
+    # OVERRIDABLE_SETTINGS below.  Sheets bind to a work queue at queue
+    # creation from the creating URL's host (identical under the default
+    # hostname assignment; under many-to-one policies the first host to
+    # create a shared queue binds it — documented deviation, Heritrix
+    # scopes settings by URI authority while our budget law is
+    # per-queue).  Empty = no refinement layer and ZERO plan overhead
+    # (the engine compiles the global literals exactly as before).
+    host_settings: tuple = field(default=())
     burst_max: int = 64
     window_ms: int = 60_000
     # Hot-host skew defusal (north_star: explicit salting).  The burst
@@ -181,6 +196,33 @@ class CrawlConfig:
     # which reduces to insertion-at-queue-creation under hostname.
     queue_assignment: str = "hostname"
     queue_buckets: int = 64
+    # Queue/host dimension placement (F3/F6 at design scale).
+    #   pandas    — driver-resident pandas tables, re-broadcast per step
+    #               (default; fastest below ~10^5 queues);
+    #   dataframe — queues/host_state live as localCheckpointed Spark
+    #               DataFrames merged by join each step; the driver sees
+    #               only work-proportional burst/candidate stats and a
+    #               1-row clock aggregate, never O(#queues) traffic —
+    #               the 10^7-10^8-queue sharding path.
+    # Both modes implement the identical superstep law
+    # (equivalence-tested event-for-event).
+    queue_state_mode: str = "pandas"
+    # Image-existence probe placement (the FetchHTTP hit/404 source).
+    #   auto      — broadcast join below ~200k images, sorted-id Arrow
+    #               array above (default);
+    #   broadcast — force the broadcast join;
+    #   array     — force the once-built sorted numpy id array + Arrow
+    #               searchsorted UDF (executor-resident for the crawl);
+    #   bucketed  — storage-partitioned probe: the id projection is
+    #               written ONCE as a bucketed+sorted table (executor-side
+    #               write, ids never pass through the driver) and each
+    #               step's burst sort-merge-joins it bucket-aligned — the
+    #               plan has NO Exchange on the images side (only the
+    #               work-proportional burst shuffles).  The 10^10-image
+    #               path: driver memory O(1), per-step images-side read is
+    #               bucket-pruned parquet from page cache.
+    image_probe: str = "auto"
+    image_probe_buckets: int = 32
     honor_crawl_delay: bool = False  # engine superset mode (SURVEY §2.H R3)
     # Scope (DecideRule fold)
     max_link_hops: int = 20
@@ -215,6 +257,73 @@ class CrawlConfig:
         if self.honor_crawl_delay:
             d = max(d, crawl_delay_ms)
         return int(d)
+
+
+# The per-host-overridable knob set (O5).  Everything else is crawl-global
+# (scope/assignment knobs change the candidate pipeline, not a queue's
+# budget law, and stay whole-crawl like Heritrix's non-refinable settings).
+OVERRIDABLE_SETTINGS = (
+    "delay_factor", "min_delay_ms", "max_delay_ms", "balance_replenish",
+    "total_budget", "max_successes_per_host", "max_fetches_per_host",
+    "max_bytes_per_host")
+
+
+def settings_group_of(cfg: "CrawlConfig", host: str) -> int:
+    """Which settings sheet applies to ``host``: 0 = the global config,
+    i+1 = ``cfg.host_settings[i]``.  Most-specific (longest) matching
+    scope wins; an exact-host scope beats any shorter domain suffix by
+    construction (it is the longest possible match)."""
+    if not cfg.host_settings:
+        return 0
+    h = host.lower().rsplit(":", 1)[0] if ":" in host else host.lower()
+    best, best_len = 0, -1
+    for i, (scope, _overrides) in enumerate(cfg.host_settings):
+        s = scope.lower()
+        if (h == s or h.endswith("." + s)) and len(s) > best_len:
+            best, best_len = i + 1, len(s)
+    return best
+
+
+def effective_settings(cfg: "CrawlConfig", group: int) -> dict:
+    """The effective overridable-knob values under sheet ``group``."""
+    vals = {k: getattr(cfg, k) for k in OVERRIDABLE_SETTINGS}
+    if group:
+        for k, v in cfg.host_settings[group - 1][1]:
+            if k not in vals:
+                raise ValueError(f"not an overridable setting: {k}")
+            vals[k] = v
+    return vals
+
+
+def settings_group_expr(cfg: "CrawlConfig", host_col):
+    """Column mirror of :func:`settings_group_of` — a when-chain over the
+    sheets ordered most-specific-first (longest scope, then declaration
+    order), so first-match-wins reproduces the longest-match law.  Used
+    by driver-gate queries; the engine itself resolves sheets driver-side
+    at queue creation (queue creation is already a driver decision)."""
+    from pyspark.sql import functions as F
+    h = F.lower(F.regexp_replace(host_col, r":\d+$", ""))
+    order = sorted(range(len(cfg.host_settings)),
+                   key=lambda i: -len(cfg.host_settings[i][0]))
+    chain = None
+    for i in order:
+        s = cfg.host_settings[i][0].lower()
+        cond = (h == s) | h.endswith("." + s)
+        chain = (F.when(cond, F.lit(i + 1)) if chain is None
+                 else chain.when(cond, F.lit(i + 1)))
+    out = chain.otherwise(F.lit(0)) if chain is not None else F.lit(0)
+    return out.cast("int")
+
+
+def politeness_ms_of(delay_factor: float, min_delay_ms: int,
+                     max_delay_ms: int, honor_crawl_delay: bool,
+                     fetch_ms: int, crawl_delay_ms: int = 0) -> int:
+    """AbstractFrontier politeness with explicit knobs (the per-host
+    override path; CrawlConfig.politeness_ms is the global-sheet case)."""
+    d = min(max(delay_factor * fetch_ms, min_delay_ms), max_delay_ms)
+    if honor_crawl_delay:
+        d = max(d, crawl_delay_ms)
+    return int(d)
 
 
 def fetch_ms_of(url_fp: int, kind: str) -> int:

@@ -60,6 +60,7 @@ class Queue:
     expenditure: int = 0
     retired: bool = False
     next_ordinal: int = 0
+    sgroup: int = 0  # settings sheet (O5): 0=global, i+1=host_settings[i]
     successes: int = 0  # real-fetch 200s (QuotaEnforcer counter)
     fetches: int = 0  # real-fetch responses, any status
     bytes: int = 0  # success payload bytes (virtual lattice)
@@ -105,8 +106,11 @@ class HeritrixSim:
         still gets its prerequisites."""
         q = self.queues.get(class_key)
         if q is None:
+            sg = C.settings_group_of(self.cfg, host)
             q = Queue(class_key, wake_ts=discovery_ts,
-                      balance=self.cfg.balance_replenish)
+                      balance=C.effective_settings(
+                          self.cfg, sg)["balance_replenish"],
+                      sgroup=sg)
             self.queues[class_key] = q
         for kind, url in ((C.KIND_DNS, f"dns:{host}"),
                           (C.KIND_ROBOTS, f"http://{host}/robots.txt")):
@@ -202,8 +206,11 @@ class HeritrixSim:
 
     def _superstep(self) -> None:
         cfg, now = self.cfg, self.now
+        eff_of = {g: C.effective_settings(cfg, g)
+                  for g in {q.sgroup for q in self.queues.values()} | {0}}
         candidates: list[tuple[str, str, str, int]] = []  # url, hop, via, ts
         for q in sorted(self._live_queues(), key=lambda q: q.class_key):
+            eff = eff_of[q.sgroup]
             s = max(q.wake_ts, now)
             eligible = sorted((i for i in q.items if i.earliest_ts <= s),
                               key=Item.sort_key)
@@ -222,11 +229,11 @@ class HeritrixSim:
                 if (item.kind == C.KIND_REAL
                         and status not in (C.S_ROBOTS_PRECLUDED,
                                            C.S_OUT_OF_SCOPE)
-                        and ((0 <= cfg.max_successes_per_host
+                        and ((0 <= eff["max_successes_per_host"]
                               <= q.successes)
-                             or (0 <= cfg.max_fetches_per_host
+                             or (0 <= eff["max_fetches_per_host"]
                                  <= q.fetches)
-                             or (0 <= cfg.max_bytes_per_host
+                             or (0 <= eff["max_bytes_per_host"]
                                  <= q.bytes))):
                     status = C.S_BLOCKED_BY_QUOTA
                 if status in (C.S_ROBOTS_PRECLUDED, C.S_BLOCKED_BY_QUOTA,
@@ -241,7 +248,9 @@ class HeritrixSim:
                             q.successes += 1
                             q.bytes += C.payload_bytes_of(item.fp, item.kind)
                     fetch_ms = C.fetch_ms_of(item.fp, item.kind)
-                    delay = cfg.politeness_ms(
+                    delay = C.politeness_ms_of(
+                        eff["delay_factor"], eff["min_delay_ms"],
+                        eff["max_delay_ms"], cfg.honor_crawl_delay,
                         fetch_ms, self.delays.get(q.class_key, 0))
                     fetch_start, fetch_end = s, s + fetch_ms
                     s = fetch_end + delay
@@ -281,12 +290,12 @@ class HeritrixSim:
             q.expenditure += charged
             q.balance -= charged
             if q.balance <= 0:
-                q.balance = cfg.balance_replenish
-            if 0 <= cfg.total_budget <= q.expenditure:
+                q.balance = eff["balance_replenish"]
+            if 0 <= eff["total_budget"] <= q.expenditure:
                 q.retired = True
-            if (0 <= cfg.max_successes_per_host <= q.successes
-                    or 0 <= cfg.max_fetches_per_host <= q.fetches
-                    or 0 <= cfg.max_bytes_per_host <= q.bytes):
+            if (0 <= eff["max_successes_per_host"] <= q.successes
+                    or 0 <= eff["max_fetches_per_host"] <= q.fetches
+                    or 0 <= eff["max_bytes_per_host"] <= q.bytes):
                 q.retired = True  # quota exhausted — queue retired
         for url, hops, via, ts in candidates:
             self.schedule(url, hops, via, False, C.NORMAL, ts)

@@ -59,3 +59,38 @@ def test_durable_seen_equivalent_and_shuffle_free(spark, tmp_path):
     n_exchanges = plan.count("Exchange")
     assert "Bucketed: true" in plan
     assert n_exchanges == 1, f"expected 1 Exchange, plan:\n{plan[:4000]}"
+
+
+def test_durable_seen_multi_checkpoint_resume(spark, tmp_path):
+    """Durable seen across a MULTI-checkpoint crawl: 4 commits in 8 steps,
+    kill, resume from the latest, finish — events and the final seen set
+    match a single uninterrupted durable run."""
+    paths = gen.write_fixture(SPEC, str(tmp_path / "fix"))
+    ref = _job(spark, paths, str(tmp_path / "ref"), durable=True)
+    ref.schedule_seeds(websim.seeds(SPEC))
+    ref.run(12)
+
+    work = str(tmp_path / "multi")
+    a = CrawlJob(spark, SPEC, CFG,
+                 images=spark.read.parquet(paths["images"]),
+                 robots_rules=spark.read.parquet(paths["robots"]),
+                 host_config=spark.read.parquet(paths["host_config"]),
+                 work_dir=work, checkpoint_interval=2, durable_seen=True)
+    a.schedule_seeds(websim.seeds(SPEC))
+    a.run(8)  # -> checkpoints at steps 2,4,6,8 (+ final)
+    del a  # simulate the process dying
+    b = CrawlJob.resume(spark, SPEC, CFG,
+                        images=spark.read.parquet(paths["images"]),
+                        robots_rules=spark.read.parquet(paths["robots"]),
+                        host_config=spark.read.parquet(paths["host_config"]),
+                        work_dir=work, checkpoint_interval=2,
+                        durable_seen=True)
+    b.run(12)
+
+    key = ["crawl_step", "class_key", "canon_url", "ordinal", "status",
+           "event"]
+    ev = lambda j: sorted(  # noqa: E731
+        tuple(r) for r in j.events_df().select(*key).collect())
+    assert ev(b) == ev(ref)
+    assert ({r["canon_url"] for r in b.seen.collect()}
+            == {r["canon_url"] for r in ref.seen.collect()})

@@ -8,6 +8,7 @@ same statuses/retries, and an identical final URL-seen set.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from heritrix_spark import config as C
 from heritrix_spark.fixtures import gen, websim
@@ -177,6 +178,124 @@ def test_bloom_prefilter_equivalence(spark, tmp_path):
     assert job._bloom_was_active  # the prefilter really ran
     if job._bloom_bits is not None:
         assert job._bloom_bits.any()
+
+
+def test_queue_state_dataframe_equivalence(spark, tmp_path):
+    """F3/F6 at design scale: queue_state_mode='dataframe' keeps queues +
+    host_state as Spark frames merged by join (no O(#queues) driver
+    round-trip, 1-row clock aggregate); the crawl is event-identical to
+    the oracle, the final queue table mirrors the oracle's queues, and a
+    checkpoint resume restores the same table."""
+    spec = websim.SPECS["tiny"]
+    paths = gen.write_fixture(spec, str(tmp_path / "fix_qsd"))
+    seed_urls = websim.seeds(spec)
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        queue_state_mode="dataframe",
+                        max_successes_per_host=6)
+    sim = HeritrixSim(spec, cfg)
+    sim.schedule_seeds(seed_urls)
+    sim.run(8)
+    kw = dict(images=spark.read.parquet(paths["images"]),
+              robots_rules=spark.read.parquet(paths["robots"]),
+              host_config=spark.read.parquet(paths["host_config"]),
+              work_dir=str(tmp_path / "work_qsd"))
+    job = CrawlJob(spark, spec, cfg, **kw)
+    job.schedule_seeds(seed_urls)
+    job.run(8)
+    _assert_equal(sim, job)
+    # Final queue table mirrors the oracle's queue records exactly.
+    qrows = {r["class_key"]: r for r in job.queues_sdf.collect()}
+    assert set(qrows) == set(sim.queues)
+    for ck, q in sim.queues.items():
+        r = qrows[ck]
+        assert (r["wake_ts"], r["balance"], r["expenditure"],
+                r["next_ordinal"], r["successes"], r["fetches"],
+                r["retired"]) == (
+            q.wake_ts, q.balance, q.expenditure, q.next_ordinal,
+            q.successes, q.fetches, q.retired), ck
+    # host_state merged in-plan: dns answers landed, robots freshness set.
+    hs = {r["class_key"]: r for r in job.host_state_sdf.collect()}
+    assert any(r["ip"] is not None for r in hs.values())
+    assert any(r["robots_fetched"] for r in hs.values())
+    # Checkpoint resume restores the identical queue table.
+    job2 = CrawlJob.resume(spark, spec, cfg, **kw)
+    restored = {r["class_key"]: r for r in job2.queues_sdf.collect()}
+    assert {k: tuple(v) for k, v in qrows.items()} == {
+        k: tuple(v) for k, v in restored.items()}
+
+
+@pytest.mark.parametrize("qmode", ["pandas", "dataframe"])
+def test_host_settings_overrides_equivalence(spark, tmp_path, qmode):
+    """O5 settings sheets: per-host overrides of politeness/budget/quota
+    knobs — an exact-host sheet, a domain-suffix sheet (most-specific
+    wins), and untouched hosts on the global sheet — crawl
+    event-identical to the oracle in both queue-state modes, and the
+    override actually bites (the quota-capped host retires)."""
+    spec = websim.SPECS["tiny"]
+    paths = gen.write_fixture(spec, str(tmp_path / "fix_hs"))
+    cfg = C.CrawlConfig(
+        surt_prefixes=websim.scope_surt_prefixes(),
+        queue_state_mode=qmode,
+        host_settings=(
+            # Exact host: the hot host gets 4x-faster politeness and a
+            # tight success quota.
+            ("h0000.example.test",
+             (("min_delay_ms", 750), ("delay_factor", 1.25),
+              ("max_successes_per_host", 3))),
+            # Domain suffix: every host slows down + small balance.
+            ("example.test",
+             (("min_delay_ms", 6000), ("balance_replenish", 500))),
+        ))
+    sim = HeritrixSim(spec, cfg)
+    sim.schedule_seeds(websim.seeds(spec))
+    sim.run(8)
+    job = CrawlJob(spark, spec, cfg,
+                   images=spark.read.parquet(paths["images"]),
+                   robots_rules=spark.read.parquet(paths["robots"]),
+                   host_config=spark.read.parquet(paths["host_config"]),
+                   work_dir=str(tmp_path / "work_hs"))
+    job.schedule_seeds(websim.seeds(spec))
+    job.run(8)
+    _assert_equal(sim, job)
+    # The exact-host sheet won over the domain sheet and bit: the hot
+    # host hit max_successes=3 and retired.
+    hot = sim.queues.get("h0000.example.test")
+    assert hot is not None and hot.sgroup == 1
+    assert hot.retired and hot.successes == 3
+    # Other hosts bound the domain sheet.
+    assert any(q.sgroup == 2 for q in sim.queues.values())
+
+
+def test_bucketed_image_probe_equivalence_and_plan(spark, tmp_path):
+    """image_probe='bucketed' (the 10^10-image path): the id projection is
+    written once as a bucketed+sorted table, the crawl is event-identical
+    to the oracle, and the per-step probe join has NO Exchange and NO Sort
+    on the images side — only the work-proportional burst shuffles."""
+    spec = websim.SPECS["tiny"]
+    paths = gen.write_fixture(spec, str(tmp_path / "fix_bp"))
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        image_probe="bucketed", image_probe_buckets=8)
+    sim = HeritrixSim(spec, cfg)
+    sim.schedule_seeds(websim.seeds(spec))
+    sim.run(8)
+    job = CrawlJob(spark, spec, cfg,
+                   images=spark.read.parquet(paths["images"]),
+                   robots_rules=spark.read.parquet(paths["robots"]),
+                   host_config=spark.read.parquet(paths["host_config"]),
+                   work_dir=str(tmp_path / "work_bp"))
+    job.schedule_seeds(websim.seeds(spec))
+    job.run(8)
+    _assert_equal(sim, job)
+    # Plan shape: storage-partitioned probe join — bucketed scan on the
+    # images side (no Exchange, no Sort), one Exchange total (burst side).
+    burst = spark.range(500).select(
+        F.format_string("img%08d", F.col("id").cast("int"))
+        .alias("image_id"))
+    plan = (burst.join(job.image_ids, "image_id", "left")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1
 
 
 @pytest.mark.parametrize("policy,buckets", [
