@@ -524,6 +524,20 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "rank").orderBy("rank"))
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via
+    pipeline.similarity.embedding_near_dups — hyperplane-LSH bucket
+    self-join + exact cosine verify.  Axis-aligned planes (dims 0-3) so
+    the DuckDB oracle reproduces the bucketing exactly; float score
+    excluded from the compared output (pair ids are deterministic)."""
+    from heritrix_spark.pipeline.similarity import (axis_planes,
+                                                    embedding_near_dups)
+    e = _t(spark, sf_dir, "embeddings")
+    planes = axis_planes(spark, [0, 1, 2, 3], 64)
+    return (embedding_near_dups(e, planes, threshold=0.35)
+            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+
+
 def q_label_centroids_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse partition stats: per label (≙ coarse centroid
     cell), member count — the bucketing side of an IVF index."""
@@ -576,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "knn_brute": q_knn_brute,
+        "embedding_neardup": q_embedding_neardup,
         "label_centroids_topk": q_label_centroids_topk,
     }
 
@@ -963,6 +978,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             WHERE vec_id <> 0
             ORDER BY rank LIMIT 5
+        """,
+        "embedding_neardup": """
+            WITH b AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                       AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+            FROM b a JOIN b bb
+              ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+            WHERE list_cosine_similarity(a.v, bb.v) >= 0.35
+            ORDER BY id_a, id_b
         """,
         "label_centroids_topk": """
             SELECT label, COUNT(*) AS n_members, MIN(vec_id) AS min_vec

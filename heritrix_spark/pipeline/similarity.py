@@ -149,3 +149,48 @@ def knn_ivf(df: DataFrame, query: DataFrame, centroids: DataFrame,
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def axis_planes(spark, dims: list[int], vec_len: int) -> DataFrame:
+    """Axis-aligned hyperplanes (unit basis vectors e_i): the degenerate —
+    and fully SQL-expressible — instance of random-hyperplane LSH, where
+    the sign bit of plane i is simply ``sign(vec[dims[i]])``.  Used by the
+    driver-gate query so the DuckDB oracle can reproduce the bucketing
+    exactly; production callers pass genuinely random planes."""
+    rows = [(i, [1.0 if j == d else 0.0 for j in range(vec_len)])
+            for i, d in enumerate(dims)]
+    return spark.createDataFrame(rows, "plane_id int, plane_vec array<double>")
+
+
+def embedding_near_dups(df: DataFrame, planes: DataFrame,
+                        threshold: float = 0.9,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        max_bucket: int | None = 2000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale.
+
+    Hyperplane-LSH bucket self-join — NEVER all-pairs: two vectors are
+    compared only when every sign bit agrees (one bucket key), so the
+    shuffle is keyed on the bucket and the pair blow-up is bounded by
+    ``cap_buckets`` (same non-silent cap contract as the MinHash/SimHash
+    paths).  Survivors get an exact JVM-side cosine verify; output is the
+    (id_a < id_b) pair list with the verified cosine.
+
+    Recall tuning is the plane count: k planes ⇒ a near-dup pair at angle
+    θ survives with probability (1-θ/π)^k; run multiple independent plane
+    sets and union for higher recall (each set is one cheap pass).
+    """
+    from .dedup import cap_buckets
+
+    b = (hyperplane_buckets(df, planes, id_col, vec_col)
+         .join(df.select(id_col, vec_col), id_col))
+    b = cap_buckets(b, ["bucket"], id_col, max_bucket)
+    left = b.select(F.col(id_col).alias("id_a"), "bucket",
+                    F.col(vec_col).alias("_va"))
+    right = b.select(F.col(id_col).alias("id_b"), "bucket",
+                     F.col(vec_col).alias("_vb"))
+    return (left.join(right, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"))
+            .where(F.col("cosine") >= threshold))

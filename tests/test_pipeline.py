@@ -166,3 +166,31 @@ def test_phash_near_dup_pairs(spark):
     pairs = multimodal.phash_near_dup_pairs(feats, max_hamming=2).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert got == {("a", "b"): 1}
+
+
+def test_embedding_near_dups(spark, vectors):
+    # vec 1 is a near-copy of vec 0: cosine ~1 and identical sign bits on
+    # dims 1-2 (dim 0 of vec 0 is ~1e-3, small enough that the 0.01
+    # perturbation flips its sign — exactly the boundary-recall miss the
+    # docstring's multi-plane-set advice is about, so the test avoids it).
+    planes = similarity.axis_planes(spark, [1, 2], 8)
+    pairs = similarity.embedding_near_dups(
+        vectors, planes, threshold=0.98).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["cosine"] > 0.99
+    # exact brute-force agreement at a loose threshold: LSH candidates
+    # verified by cosine are a subset of all-pairs cosine >= t
+    brute = {(a, b)
+             for a in range(6) for b in range(a + 1, 6)}
+    got = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_near_dups(
+               vectors, planes, threshold=-1.0).collect()}
+    assert got <= brute
+
+
+def test_embedding_near_dups_bucket_cap(spark, vectors):
+    # cap of 1 member per bucket → no pairs at all (non-silent bound)
+    planes = similarity.axis_planes(spark, [0], 8)
+    got = similarity.embedding_near_dups(
+        vectors, planes, threshold=-1.0, max_bucket=1).count()
+    assert got == 0
