@@ -419,6 +419,80 @@ def q_robots_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _extract_fixture(spark: SparkSession, sf_dir: str,
+                     content_col: str, content: F.Column,
+                     via: F.Column) -> DataFrame:
+    d = _doc_ids(spark, sf_dir)
+    return d.select("doc_id", via.alias("url"),
+                    F.lit("L").alias("hops_path"),
+                    content.alias(content_col))
+
+
+def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorHTML X1 via operators.extract.outlinks_html (the real-HTML
+    regex extractor): relative-href resolution against the page (or a
+    <base href>), meta-robots-nofollow suppression of nav links,
+    embed (src) and speculative (<script> literal) hops — all exercised
+    over deterministically synthesized HTML.  The oracle states the
+    expected link set in closed form."""
+    from heritrix_spark.operators.extract import outlinks_html
+    ds = F.col("doc_id").cast("string")
+    base_tag = F.when(F.col("doc_id") % 5 == 0,
+                      F.lit('<base href="http://cdn.example.test/b/">')
+                      ).otherwise(F.lit(""))
+    meta = F.when(F.col("doc_id") % 7 == 0,
+                  F.lit('<meta name="robots" content="nofollow">')
+                  ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), base_tag, meta, F.lit("</head><body>"),
+        F.lit('<a href="a'), ds, F.lit('.html">x</a>'),
+        F.lit('<img src="/i/img'), ds, F.lit('.png">'),
+        F.lit('<script>fetch("http://api.example.test/v/'), ds,
+        F.lit('")</script></body></html>'))
+    via = F.concat(F.lit("http://h"), (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".example.test/d/"), ds, F.lit("/page.html"))
+    fetched = _extract_fixture(spark, sf_dir, "html", html, via)
+    return (outlinks_html(fetched)
+            .select("doc_id", "link_idx", "url", "hop", "hops_path")
+            .orderBy("doc_id", "link_idx"))
+
+
+def q_extract_css(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorCSS X2 via operators.extract.outlinks_css: url(...) tokens
+    (quoted and bare) + @import "..." rules, resolved against the
+    stylesheet URL, hop type E."""
+    from heritrix_spark.operators.extract import outlinks_css
+    ds = F.col("doc_id").cast("string")
+    css = F.concat(
+        F.lit('body{background:url("/bg/b'), ds, F.lit('.png")} '),
+        F.lit(".x{background:url(img"), ds, F.lit(".gif)} "),
+        F.lit('@import "theme'), ds, F.lit('.css";'))
+    via = F.concat(F.lit("http://h"), (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".example.test/css/style"), ds, F.lit(".css"))
+    fetched = _extract_fixture(spark, sf_dir, "css", css, via)
+    return (outlinks_css(fetched)
+            .select("doc_id", "link_idx", "url", "hop", "hops_path")
+            .orderBy("doc_id", "link_idx"))
+
+
+def q_extract_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorJS X2 via operators.extract.outlinks_js: quoted absolute
+    URLs inside script bodies, hop type X (speculative)."""
+    from heritrix_spark.operators.extract import outlinks_js
+    ds = F.col("doc_id").cast("string")
+    js = F.concat(
+        F.lit('var a="http://h'), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.test/api/"), ds, F.lit('";'),
+        F.lit("var b='x';fetch('https://img.example.test/t/"), ds,
+        F.lit(".jpg');"))
+    via = F.concat(F.lit("http://h"), (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".example.test/j/app"), ds, F.lit(".js"))
+    fetched = _extract_fixture(spark, sf_dir, "js", js, via)
+    return (outlinks_js(fetched)
+            .select("doc_id", "link_idx", "url", "hop", "hops_path")
+            .orderBy("doc_id", "link_idx"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops (dedup / similarity / text analysis) — all
 # routed through heritrix_spark.pipeline modules.
@@ -572,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_arrival_dedup": q_first_arrival_dedup,
         "queue_assign_surt": q_queue_assign_surt,
         "quota_bytes_window": q_quota_bytes_window,
+        "extract_html": q_extract_html,
+        "extract_css": q_extract_css,
+        "extract_js": q_extract_js,
         "canonicalize": q_canonicalize,
         "surt": q_surt,
         "class_key": q_class_key,
@@ -802,6 +879,66 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND 1 PRECEDING)
             ORDER BY l_suppkey, l_orderkey, l_linenumber, prior_qty
+        """,
+        "extract_html": """
+            WITH d AS (
+              SELECT doc_id,
+                     doc_id % 50 AS m,
+                     doc_id % 5 = 0 AS hasbase,
+                     doc_id % 7 = 0 AS nof
+              FROM documents)
+            SELECT doc_id, link_idx, url, hop, hops_path FROM (
+              SELECT doc_id, 0 AS link_idx,
+                     CASE WHEN hasbase
+                          THEN 'http://cdn.example.test/b/a' || doc_id
+                               || '.html'
+                          ELSE 'http://h' || m || '.example.test/d/'
+                               || doc_id || '/a' || doc_id || '.html'
+                     END AS url,
+                     'L' AS hop, 'LL' AS hops_path
+              FROM d WHERE NOT nof
+              UNION ALL
+              SELECT doc_id, CASE WHEN nof THEN 0 ELSE 1 END,
+                     CASE WHEN hasbase THEN 'http://cdn.example.test'
+                          ELSE 'http://h' || m || '.example.test'
+                     END || '/i/img' || doc_id || '.png',
+                     'E', 'LE'
+              FROM d
+              UNION ALL
+              SELECT doc_id, CASE WHEN nof THEN 1 ELSE 2 END,
+                     'http://api.example.test/v/' || doc_id, 'X', 'LX'
+              FROM d)
+            ORDER BY doc_id, link_idx
+        """,
+        "extract_css": """
+            WITH d AS (SELECT doc_id, doc_id % 50 AS m FROM documents)
+            SELECT doc_id, link_idx, url, hop, hops_path FROM (
+              SELECT doc_id, 0 AS link_idx,
+                     'http://h' || m || '.example.test/bg/b' || doc_id
+                     || '.png' AS url,
+                     'E' AS hop, 'LE' AS hops_path FROM d
+              UNION ALL
+              SELECT doc_id, 1,
+                     'http://h' || m || '.example.test/css/img' || doc_id
+                     || '.gif', 'E', 'LE' FROM d
+              UNION ALL
+              SELECT doc_id, 2,
+                     'http://h' || m || '.example.test/css/theme' || doc_id
+                     || '.css', 'E', 'LE' FROM d)
+            ORDER BY doc_id, link_idx
+        """,
+        "extract_js": """
+            WITH d AS (SELECT doc_id, doc_id % 50 AS m FROM documents)
+            SELECT doc_id, link_idx, url, hop, hops_path FROM (
+              SELECT doc_id, 0 AS link_idx,
+                     'http://h' || m || '.example.test/api/' || doc_id
+                         AS url,
+                     'X' AS hop, 'LX' AS hops_path FROM d
+              UNION ALL
+              SELECT doc_id, 1,
+                     'https://img.example.test/t/' || doc_id || '.jpg',
+                     'X', 'LX' FROM d)
+            ORDER BY doc_id, link_idx
         """,
         "canonicalize": """
             SELECT doc_id,
