@@ -166,6 +166,17 @@ class CrawlConfig:
     # its frontier rows are spread over partition_salt shuffle partitions.
     # 1 disables phase 1 (exact output is identical either way).
     partition_salt: int = 16
+    # Adaptive salting crossover.  Spark's InferWindowGroupLimit already
+    # inserts a MAP-SIDE partial top-k below the window's Exchange, so
+    # even unsalted, a hot queue's final window group is bounded by
+    # (#map partitions × burst_max) rows — when that bound is small the
+    # phase-1 salt pass is pure overhead (an extra full-frontier shuffle
+    # + sort per superstep).  The engine therefore runs single-phase
+    # whenever #shuffle_partitions × burst_max <= salt_auto_rows, and
+    # two-phase salted above it (the 10^5-partition cluster regime,
+    # where the unsalted bound would be 10^8 rows in one task).  Set
+    # salt_auto_rows=0 to force the salted path unconditionally.
+    salt_auto_rows: int = 262_144
     # Broadcast bloom URL-seen prefilter (BloomUriUniqFilter analog —
     # north_star).  Once the seen set exceeds bloom_min_seen rows, the
     # engine builds a bloom_bits-bit bitmap executor-side, broadcasts it,

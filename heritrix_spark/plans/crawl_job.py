@@ -220,14 +220,22 @@ def _normalize_queues(pdf: pd.DataFrame) -> pd.DataFrame:
 class CrawlJob:
     """One crawl: seeds → supersteps → checkpointed engine tables."""
 
-    SEEN_BUCKETS = 16  # local test sizing; 256+ on a real cluster
-
     def __init__(self, spark: SparkSession, spec: FixtureSpec,
                  cfg: C.CrawlConfig, images: DataFrame,
                  robots_rules: DataFrame, host_config: DataFrame | None,
                  work_dir: str, checkpoint_interval: int = 10,
                  durable_seen: bool = False):
         self.spark = spark
+        # Bucket count of the durable seen table = the per-step anti-join's
+        # parallelism (bucketed side never exchanges; the candidate side
+        # shuffles INTO the bucket count).  A fixed small count caps the
+        # join at that many tasks no matter how many cores the session has
+        # — size it to 2x the session's shuffle width (256+ on a real
+        # cluster; bucket count is fixed for the table's lifetime, so it
+        # is chosen once per crawl here).
+        self.SEEN_BUCKETS = min(256, max(
+            16, 2 * int(spark.conf.get("spark.sql.shuffle.partitions",
+                                       "8"))))
         self.spec = spec
         self.cfg = cfg
         self._rebuild_settings_dims()
@@ -970,18 +978,26 @@ class CrawlJob:
         elig = self.frontier_hot.join(self._maybe_bcast(qdf), "class_key")
         elig = elig.where(F.col("earliest_ts")
                           <= F.greatest(F.col("wake_ts"), F.lit(now)))
-        # Hot-host skew defusal (north_star: explicit salting): two-phase
-        # salted top-k with WindowGroupLimit pushdown — a Zipf-head queue
-        # costs partition_salt bounded heaps across partition_salt shuffle
-        # partitions, never one unbounded single-task sort.  See
-        # operators/schedule.py for the physical-shape contract.
+        # Hot-host skew defusal (north_star: explicit salting): top-k with
+        # WindowGroupLimit pushdown — a Zipf-head queue costs bounded
+        # per-partition heaps, never one unbounded single-task sort.  The
+        # phase-1 salt pass (an extra full-frontier shuffle + sort) only
+        # engages when the unsalted map-side bound
+        # (#shuffle_partitions × burst_max) would overload the final
+        # window's hot-key task — see CrawlConfig.salt_auto_rows.
+        salt = cfg.partition_salt
+        if salt > 1 and cfg.salt_auto_rows:
+            width = int(self.spark.conf.get(
+                "spark.sql.shuffle.partitions", "8"))
+            if width * cfg.burst_max <= cfg.salt_auto_rows:
+                salt = 1
         w = Window.partitionBy("class_key").orderBy(
             "directive", "cost", "ordinal")
         a = (top_k_per_queue(
                 elig, ["class_key"],
                 [F.col("directive"), F.col("cost"), F.col("ordinal")],
                 cfg.burst_max, rank_col="_rn", salt_col="url_fp",
-                salt_count=cfg.partition_salt)
+                salt_count=salt)
              .withColumn("_rn", F.col("_rn") - 1))
 
         # Preselector re-check (P1): re-apply the CURRENT scope fold to
@@ -1320,7 +1336,16 @@ class CrawlJob:
             self._cold_dirty_steps = 0
         _mark("frontier_ck")
         if n_new:
-            seen_delta = new_rows.select("url_fp", "canon_url").coalesce(1)
+            # Bucket-aligned repartition: HashPartitioning(url_fp, B) is
+            # the same murmur3+pmod Spark's bucketed-write spec uses, so
+            # each of the B tasks holds exactly one bucket and the durable
+            # append writes B files IN PARALLEL.  (The old coalesce(1)
+            # funneled every step's ~10^5-row delta through ONE write task
+            # — a per-step cost that never shrank with cores.)
+            seen_delta = (new_rows.select("url_fp", "canon_url")
+                          .repartition(self.SEEN_BUCKETS, F.col("url_fp"))
+                          if self.durable_seen else
+                          new_rows.select("url_fp", "canon_url").coalesce(1))
             self._seen_add(seen_delta)
             self._pending["seen"].append(seen_delta)
 
