@@ -493,6 +493,25 @@ def q_extract_js(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "link_idx"))
 
 
+def q_extract_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorXML X2 via operators.extract.outlinks_xml: sitemap <loc>
+    entries + feed href attributes, resolved against the sitemap URL,
+    hop type L."""
+    from heritrix_spark.operators.extract import outlinks_xml
+    ds = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc> http://h"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.test/s/"), ds, F.lit(" </loc></url>"),
+        F.lit('<link href="/feed/'), ds, F.lit('.atom"/></urlset>'))
+    via = F.concat(F.lit("http://h"), (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".example.test/sitemap"), ds, F.lit(".xml"))
+    fetched = _extract_fixture(spark, sf_dir, "xml", xml, via)
+    return (outlinks_xml(fetched)
+            .select("doc_id", "link_idx", "url", "hop", "hops_path")
+            .orderBy("doc_id", "link_idx"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops (dedup / similarity / text analysis) — all
 # routed through heritrix_spark.pipeline modules.
@@ -649,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html": q_extract_html,
         "extract_css": q_extract_css,
         "extract_js": q_extract_js,
+        "extract_xml": q_extract_xml,
         "canonicalize": q_canonicalize,
         "surt": q_surt,
         "class_key": q_class_key,
@@ -938,6 +958,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 1,
                      'https://img.example.test/t/' || doc_id || '.jpg',
                      'X', 'LX' FROM d)
+            ORDER BY doc_id, link_idx
+        """,
+        "extract_xml": """
+            WITH d AS (SELECT doc_id, doc_id % 50 AS m FROM documents)
+            SELECT doc_id, link_idx, url, hop, hops_path FROM (
+              SELECT doc_id, 0 AS link_idx,
+                     'http://h' || m || '.example.test/s/' || doc_id AS url,
+                     'L' AS hop, 'LL' AS hops_path FROM d
+              UNION ALL
+              SELECT doc_id, 1,
+                     'http://h' || m || '.example.test/feed/' || doc_id
+                     || '.atom', 'L', 'LL' FROM d)
             ORDER BY doc_id, link_idx
         """,
         "canonicalize": """

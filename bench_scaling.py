@@ -48,7 +48,7 @@ SCALING_ENV = {
     "SPARK_GRAFT_CRAWL_SPEC": "bench2",
     "SPARK_GRAFT_BURST": "1024",
     "SPARK_GRAFT_WINDOW_MS": "4000000",
-    "SPARK_GRAFT_CRAWL_STEPS": "6",
+    "SPARK_GRAFT_CRAWL_STEPS": "8",
     "SPARK_GRAFT_CRAWL_WARMUP": "2",
 }
 

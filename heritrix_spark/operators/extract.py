@@ -222,6 +222,37 @@ def outlinks_js(fetched: DataFrame, url_col: str = "url",
             .drop("_l", "parent_hops", js_col))
 
 
+_XML_LOC_RE = r"(?is)<loc\s*>\s*([^<\s][^<]*?)\s*</loc\s*>"
+_XML_HREF_RE = r"(?i)\shref\s*=\s*[\"']([^\"'#>][^\"'>]*)"
+
+
+def outlinks_xml(fetched: DataFrame, url_col: str = "url",
+                 xml_col: str = "xml",
+                 hops_col: str = "hops_path") -> DataFrame:
+    """ExtractorXML — sitemap/feed link extraction, same output schema as
+    :func:`outlinks_html`.  Heritrix parity (class anchor):
+    ``org/archive/crawler/extractor/ExtractorXML.java`` — ``<loc>`` text
+    (sitemap.xml / sitemapindex) and ``href=`` attributes (Atom/RSS
+    links), hop type L (navlink, as the reference treats discovered URIs).
+    JVM-side throughout: ``regexp_extract_all`` + higher-order
+    ``transform`` resolution + one ``posexplode``."""
+    resolve = _resolve_expr(F.col(url_col))
+    refs = F.concat(
+        F.regexp_extract_all(F.col(xml_col), F.lit(_XML_LOC_RE), 1),
+        F.regexp_extract_all(F.col(xml_col), F.lit(_XML_HREF_RE), 1))
+    links = F.transform(refs, lambda u: F.struct(
+        resolve(u).alias("u"), F.lit("L").alias("hop")))
+    df = (fetched
+          .select("*", F.posexplode(links).alias("link_idx", "_l"))
+          .withColumnRenamed(url_col, "via")
+          .withColumnRenamed(hops_col, "parent_hops"))
+    return (df.withColumn("url", F.col("_l.u"))
+            .withColumn("hop", F.col("_l.hop"))
+            .withColumn("hops_path",
+                        F.concat(F.col("parent_hops"), F.col("hop")))
+            .drop("_l", "parent_hops", xml_col))
+
+
 def outlinks_of(fetched: DataFrame, spec: FixtureSpec) -> DataFrame:
     """Explode fetched pages into candidate links.
 

@@ -195,3 +195,32 @@ def test_outlinks_js_speculative(spark):
     got = {r["url"] for r in out}
     assert got == {"http://api.test/v1/data", "https://cdn.test/bundle.js"}
     assert all(r["hop"] == "X" and r["hops_path"] == "LX" for r in out)
+
+
+SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://site.test/page/1</loc><lastmod>2026-01-01</lastmod></url>
+  <url><loc>
+      http://site.test/page/2
+  </loc></url>
+  <url><loc>/rooted/3</loc></url>
+</urlset>
+<feed><link href="entries/4.atom"/><link href="#frag-skipped"/></feed>
+"""
+
+
+def test_outlinks_xml_sitemap_locs_and_hrefs(spark):
+    from heritrix_spark.operators.extract import outlinks_xml
+
+    df = spark.createDataFrame(
+        [("http://site.test/maps/sitemap.xml", "", SITEMAP_XML)],
+        "url string, hops_path string, xml string")
+    out = outlinks_xml(df).select("url", "hop", "hops_path").collect()
+    got = {r["url"] for r in out}
+    assert got == {
+        "http://site.test/page/1",            # plain <loc>
+        "http://site.test/page/2",            # whitespace-wrapped <loc>
+        "http://site.test/rooted/3",          # rooted <loc> resolves
+        "http://site.test/maps/entries/4.atom",  # href relative to sitemap
+    }
+    assert all(r["hop"] == "L" and r["hops_path"] == "L" for r in out)
