@@ -25,13 +25,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CRAWL_SPEC = os.environ.get("SPARK_GRAFT_CRAWL_SPEC", "bench")
-CRAWL_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_STEPS", "16"))
-WARMUP_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_WARMUP", "4"))
+CRAWL_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_STEPS", "5"))
+WARMUP_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_WARMUP", "1"))
 SEED_HOSTS = int(os.environ.get("SPARK_GRAFT_SEED_HOSTS", "200"))
-# Big supersteps amortize fixed per-step coordination and give the
-# executors real parallel work (the scaling lever at bench scale).
-WINDOW_MS = int(os.environ.get("SPARK_GRAFT_WINDOW_MS", "960000"))
-BURST_MAX = int(os.environ.get("SPARK_GRAFT_BURST", "256"))
+# Big supersteps amortize the fixed ~25 s/step coordination cost (driver
+# plan build, stats collect, broadcast builds, codegen JIT) and give the
+# executors real parallel work — the steady-state regime of a cluster
+# crawl.  The old defaults (burst 256 / 0.96 s window / 16 steps)
+# processed ~28k URLs/step, which measures coordination at ANY core
+# count; see BENCH/BASELINE.md round-2/3 workload notes.
+WINDOW_MS = int(os.environ.get("SPARK_GRAFT_WINDOW_MS", "4000000"))
+BURST_MAX = int(os.environ.get("SPARK_GRAFT_BURST", "1024"))
 # The bench measures the 100x-safe engine by default: the URL-seen set
 # lives in the durable BUCKETED table (storage-partitioned anti-join, one
 # Exchange) rather than the in-memory union chain.  Set =0 to compare.
