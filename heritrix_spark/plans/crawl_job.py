@@ -371,6 +371,7 @@ class CrawlJob:
         self._bloom_bits: np.ndarray | None = None  # packed uint8
         self._bloom_udf = None
         self._bloom_dirty = False
+        self._step_cache = None
         # Adaptive idle-off: a bloom prefilter only pays while the crawl
         # DISCOVERS (unseen candidates skip the anti-join).  In a drain
         # phase every candidate is a duplicate, so the probe is pure
@@ -441,6 +442,14 @@ class CrawlJob:
         except Exception:  # non-classic sessions: keep the checkpoint
             return out
 
+    def _release_step_cache(self) -> None:
+        """Free the per-step candidate-batch cache once the final
+        candidate frame has materialized (its BHJ probe side no longer
+        references the cached batch)."""
+        if self._step_cache is not None:
+            self._step_cache.unpersist(blocking=False)
+            self._step_cache = None
+
     def _seen_write(self, df: DataFrame, mode: str = "append") -> None:
         (df.write.mode(mode)
          .bucketBy(self.SEEN_BUCKETS, "url_fp").sortBy("url_fp")
@@ -504,6 +513,7 @@ class CrawlJob:
         """Seed injection from a DataFrame of candidate-schema rows — the
         scalable path for large seed lists / full-frontier bench replays."""
         c = self._ck(self._candidate_plan(cand))
+        self._release_step_cache()
         stats = c.groupBy("class_key", "host").agg(
             *self._cand_aggs()).collect()
         pre, wmap, kills = self._merge_candidate_queues(stats)
@@ -572,45 +582,96 @@ class CrawlJob:
             (F.coalesce(F.col("next_ordinal"), F.lit(0))
              + F.col("_i") - 1 + F.col("_W")).cast("long"))
 
-    def _candidate_plan(self, cand: DataFrame) -> DataFrame:
-        """Candidate pipeline (lazy): scope fold → canonicalize →
-        intra-batch dedup (first arrival wins) → anti-join the exact
-        ``seen`` set → per-queue ordinal assignment.
+    # Above this many unseen fingerprints the string-attach join falls
+    # back from broadcast to shuffle (32 MB of packed longs; a discovery
+    # burst at true web scale can exceed any driver/executor broadcast
+    # budget, and at that size the strings crossing the wire are all
+    # genuinely new work anyway).
+    UNSEEN_BCAST_ROWS = 4_000_000
+
+    def _candidate_plan(self, cand: DataFrame,
+                        materialize: bool = True) -> DataFrame:
+        """Candidate pipeline: scope fold → canonicalize → URL-seen
+        membership on the NARROW fp projection → attach strings to the
+        survivors → intra-batch dedup (first arrival wins) → per-queue
+        ordinal assignment.
 
         LinksScoper + FrontierScheduler + UriUniqFilter semantics
         set-at-a-time; the anti-join is the BdbUriUniqFilter ``add``.
+
+        Scale shape (the round-3 N→4N fix): URL strings never enter a
+        recurring exchange.  The extracted+canonicalized batch is
+        materialized ONCE (``c0``); seen-membership runs over its 8-byte
+        ``url_fp`` projection (one bucket-aligned narrow exchange, ~40 MB
+        where the old string dedup/anti-join exchanges moved ~1 GB); the
+        surviving unseen fp set — a few % of the batch in the steady
+        state, because most outlinks point at already-crawled URLs — is
+        broadcast back to attach strings with NO exchange of ``c0``.
+        When discovery genuinely explodes (> UNSEEN_BCAST_ROWS), the
+        attach join degrades to a shuffle whose volume is proportional to
+        the NEW urls — the part that is real work.  First-arrival dedup
+        then runs on the post-membership survivors only: seen-ness is a
+        pure function of the fp, so filtering before picking the
+        min-arrival winner selects exactly the same winners.
+
+        ``materialize=False`` (known-empty candidate frames: drain/retry
+        steps) keeps the whole plan lazy so PropagateEmptyRelation
+        collapses it without launching jobs.
         """
         cfg = self.cfg
         c = cand.where(scope_accepts_expr(cfg, F.col("url"),
                                           F.col("hops_path")))
         c = c.withColumn("canon_url", canonicalize_expr(F.col("url")))
-        w_dup = Window.partitionBy("canon_url").orderBy(*_ORD)
-        c = (c.withColumn("_dup", F.row_number().over(w_dup))
-             .where(F.col("_dup") == 1).drop("_dup"))
-        # URL-seen anti-join on the 8-byte fingerprint, not the URL string
-        # (BdbUriUniqFilter keys on the 64-bit fp; the recurring seen
-        # shuffle is ~10x narrower this way).
         c = c.withColumn("url_fp", F.xxhash64(F.col("canon_url")))
+        if materialize:
+            # Columnar SQL cache, not localCheckpoint: the batch is
+            # string-heavy and read twice (narrow fp scan, then the
+            # survivor attach probe).  InMemoryRelation stores compressed
+            # column batches and prunes columns on scan — the fp pass
+            # reads ONLY the 8-byte column — where a row-based checkpoint
+            # would pin ~1 GB of deserialized string rows per step.
+            # Released in superstep() once the final candidates
+            # materialize (_release_step_cache).
+            c0 = c.persist()
+            self._step_cache = c0
+        else:
+            c0 = c
+        # Narrow membership: distinct unseen fps, bucket-aligned with the
+        # durable seen table (repartition INTO the bucket hash ⇒ the
+        # dedup agg and the anti-join both run without a further
+        # exchange; the seen side never exchanges at all).
+        fps = c0.select("url_fp").repartition(
+            self.SEEN_BUCKETS, F.col("url_fp")).dropDuplicates(["url_fp"])
         if self._bloom_bits is not None:
-            # Broadcast bloom prefilter: bloom-negative rows are provably
-            # unseen and skip the anti-join entirely; bloom-positive rows
-            # are verified exactly (never inherits false-positive drops).
-            # The prefix (scope fold → canonicalize → dedup window → fp +
-            # probe column) is materialized ONCE before the split — the
-            # two filter branches must not each recompute it.
+            # Broadcast bloom prefilter: bloom-negative fps are provably
+            # unseen and skip the anti-join (and the seen scan) entirely;
+            # bloom-positive fps are verified exactly (never inherits
+            # false-positive drops).
             if self._bloom_udf is None or self._bloom_dirty:
                 self._bloom_udf = U.make_might_contain_packed_udf(
                     self.spark, self._bloom_bits)
                 self._bloom_dirty = False
-            c = self._ck(c.withColumn("_maybe", self._bloom_udf(
+            fps = fps.withColumn("_maybe", self._bloom_udf(
                 *U.bloom_positions_expr(F.col("url_fp"),
-                                        self._bloom_nbits))))
-            maybe = (c.where(F.col("_maybe"))
-                     .join(self.seen.select("url_fp"), "url_fp",
-                           "left_anti"))
-            c = c.where(~F.col("_maybe")).unionByName(maybe).drop("_maybe")
+                                        self._bloom_nbits)))
+            unseen = (fps.where(~F.col("_maybe")).drop("_maybe")
+                      .unionByName(
+                          fps.where(F.col("_maybe")).drop("_maybe")
+                          .join(self.seen.select("url_fp"), "url_fp",
+                                "left_anti")))
         else:
-            c = c.join(self.seen.select("url_fp"), "url_fp", "left_anti")
+            unseen = fps.join(self.seen.select("url_fp"), "url_fp",
+                              "left_anti")
+        if materialize:
+            unseen = self._ck(unseen)
+            if unseen.count() <= self.UNSEEN_BCAST_ROWS:
+                unseen = F.broadcast(unseen)
+        else:
+            unseen = F.broadcast(unseen)
+        c = c0.join(unseen, "url_fp")
+        w_dup = Window.partitionBy("canon_url").orderBy(*_ORD)
+        c = (c.withColumn("_dup", F.row_number().over(w_dup))
+             .where(F.col("_dup") == 1).drop("_dup"))
         c = (
             c.withColumn("_pshape", F.col("canon_url").rlike(
                 r"^(dns:|https?://[^/?#]*/robots\.txt$)"))
@@ -942,15 +1003,19 @@ class CrawlJob:
     def superstep(self) -> int:
         """Run one superstep; returns number of processed rows.
 
-        Exactly FOUR Spark jobs per step (the scaling contract — round 1
-        was driver-coordination-bound at six):
+        Per-step Spark jobs (the scaling contract — every recurring
+        exchange is either narrow (8-byte fps) or bounded by the burst):
 
         1. burst materialization (salted bounded window → fetch law),
-        2. candidate materialization (extract → scope → dedup → anti-join),
-        3. ONE union-stats collect (burst effects + candidate counts +
+        2. candidate batch materialization (extract → scope →
+           canonicalize; strings materialize once, never exchange),
+        3. narrow unseen-fp membership (bucket-aligned anti-join) + its
+           driver count (the broadcast-vs-shuffle attach decision),
+        4. candidate materialization (attach strings → dedup → ordinals),
+        5. ONE union-stats collect (burst effects + candidate counts +
            per-queue min-earliest of untouched frontier rows — the virtual
            clock input, so the clock itself costs no job),
-        4. frontier merge materialization.
+        6. frontier merge materialization.
 
         All queue-state updates are vectorized pandas merges; the only
         driver Python loops are over new queues and prereq-shaped
@@ -1153,7 +1218,8 @@ class CrawlJob:
             # A local empty candidate relation lets Catalyst collapse the
             # whole pipeline (PropagateEmptyRelation) — no job 2 at all.
             c = self._candidate_plan(
-                self.spark.createDataFrame([], CAND_SCHEMA))
+                self.spark.createDataFrame([], CAND_SCHEMA),
+                materialize=False)
         else:
             # Attach URL strings to the bounded burst: one broadcast-probe
             # scan of the cold table per step — the cold side never
@@ -1176,6 +1242,7 @@ class CrawlJob:
                 F.col("_pts").alias("earliest_ts"),
                 "_ord_ck", "_ord_rn", F.col("link_idx").alias("_ord_j"))
             c = self._ck(self._candidate_plan(cand))
+            self._release_step_cache()
         _mark("cand_ck")
 
         # --- ONE O(#queues) stats job: burst effects ∪ candidate counts ----
