@@ -218,6 +218,27 @@ class CrawlConfig:
     # Both modes implement the identical superstep law
     # (equivalence-tested event-for-event).
     queue_state_mode: str = "pandas"
+    # Frontier storage tiers (the N→4N scaling shape).
+    #   True  — two-tier frontier: a compacted BASE cached columnar,
+    #           hash-partitioned by (class_key, salt) and sorted by the
+    #           priority key, so the per-step burst top-k runs with NO
+    #           Exchange and NO Sort over it (window + WindowGroupLimit
+    #           directly on the InMemoryRelation); processed rows leave
+    #           via broadcast anti-joins; new/retry rows accumulate in a
+    #           small DELTA (its own bounded window) and fold into the
+    #           base when removed+delta outgrow frontier_compact_frac of
+    #           it.  Per-step shuffle volume is bounded by the burst +
+    #           discoveries, independent of frontier size — the 10^10
+    #           contract.
+    #   False — single merged hot frame, full-frontier window shuffle and
+    #           rewrite every step (the pre-round-3 shape; kept as the
+    #           equivalence fallback).
+    frontier_tiers: bool = True
+    # Compact when (since-compaction removed + delta) exceeds this
+    # fraction of the base — bounds both the broadcast anti-join size and
+    # the delta window's exchange, and amortizes the one full-frontier
+    # exchange+sort to once per ~1/frac of the frontier turning over.
+    frontier_compact_frac: float = 0.25
     # Image-existence probe placement (the FetchHTTP hit/404 source).
     #   auto      — broadcast join below ~200k images, sorted-id Arrow
     #               array above (default);

@@ -88,7 +88,7 @@ import pandas as pd
 
 # SPARK_GRAFT_TRACE=1 prints per-superstep phase wall times (perf triage).
 _TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") not in ("", "0")
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -308,6 +308,22 @@ class CrawlJob:
         self.frontier_hot = spark.createDataFrame([], HOT_SCHEMA)
         self.frontier_cold = spark.createDataFrame([], COLD_SCHEMA)
         self._cold_dirty_steps = 0
+        # Two-tier frontier state (cfg.frontier_tiers): BASE is a
+        # compacted, (class_key, _salt)-partitioned, priority-sorted
+        # columnar cache — the burst window scans it with no Exchange and
+        # no Sort; DELTA holds rows added since the last compaction;
+        # _removed holds the per-step processed-fp frames (lazy slices of
+        # the checkpointed burst) that anti-join the base out of scans
+        # until compaction folds them in.  frontier_hot stays the logical
+        # view (base − removed) ∪ delta for every non-hot-path reader
+        # (checkpoint, reports, clock aggregates).
+        self.tiered = cfg.frontier_tiers
+        self._base: DataFrame | None = None
+        self._base_rows = 0
+        self._delta: DataFrame = spark.createDataFrame([], HOT_SCHEMA)
+        self._delta_rows = 0
+        self._removed: list[DataFrame] = []
+        self._removed_rows = 0
         # Queue/host dimension placement (cfg.queue_state_mode): pandas
         # keeps both tables driver-resident (default, O(#hosts) driver
         # memory + per-step serialize); dataframe keeps them as
@@ -406,6 +422,18 @@ class CrawlJob:
         self.frontier_hot = self._ck(full.select(*HOT_COLS))
         self.frontier_cold = self._ck(full.select(*COLD_COLS))
         self._cold_dirty_steps = 0
+        if self.tiered:
+            # Rebuild the tiers from the flat snapshot: everything starts
+            # in the delta, then one immediate compaction establishes the
+            # partitioned+sorted base.
+            self._base = None
+            self._base_rows = 0
+            self._removed = []
+            self._removed_rows = 0
+            self._delta = self.frontier_hot
+            self._delta_rows = 0
+            self._maybe_compact_tiers(force=True)
+            self._refresh_hot_view()
 
     def _ck(self, df: DataFrame) -> DataFrame:
         """Materialize with bounded partition count AND bounded statistics.
@@ -449,6 +477,126 @@ class CrawlJob:
         if self._step_cache is not None:
             self._step_cache.unpersist(blocking=False)
             self._step_cache = None
+
+    # ----------------------------------------------------- frontier tiers
+
+    _BASE_ORDER = ["class_key", "_salt", "directive", "cost", "ordinal"]
+
+    def _salt_expr(self) -> Column:
+        s = max(1, self.cfg.partition_salt)
+        return F.pmod(F.col("url_fp"), F.lit(s)).cast("int")
+
+    def _removed_union(self) -> DataFrame | None:
+        """Since-compaction processed fps as ONE frame (each element is a
+        lazy url_fp slice of an already-checkpointed burst — the union is
+        a cheap narrow scan, broadcast once per plan that uses it)."""
+        if not self._removed:
+            return None
+        u = self._removed[0]
+        for r in self._removed[1:]:
+            u = u.unionByName(r)
+        return u
+
+    def _base_live(self) -> DataFrame | None:
+        """Base minus processed rows — partitioning/ordering-preserving
+        (the anti-join is a broadcast BHJ, a filter in physical terms)."""
+        if self._base is None:
+            return None
+        rm = self._removed_union()
+        if rm is None:
+            return self._base
+        return self._base.join(F.broadcast(rm), "url_fp", "left_anti")
+
+    def _refresh_hot_view(self) -> None:
+        """Rebuild the logical hot view for non-hot-path readers."""
+        live = self._base_live()
+        if live is None:
+            self.frontier_hot = self._delta
+        else:
+            self.frontier_hot = (live.drop("_salt")
+                                 .unionByName(self._delta))
+
+    def _maybe_compact_tiers(self, force: bool = False) -> None:
+        """Fold delta + removals into a fresh base when they outgrow
+        ``frontier_compact_frac`` of it — the ONE amortized full-frontier
+        exchange+sort; every per-step exchange stays bounded by
+        burst + discoveries."""
+        turn = self._removed_rows + self._delta_rows
+        if not force and turn <= max(
+                self.cfg.frontier_compact_frac * self._base_rows, 1):
+            return
+        live = self._base_live()
+        d = self._delta.withColumn("_salt", self._salt_expr())
+        src = d if live is None else live.unionByName(d)
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "8"))
+        # localCheckpoint, NOT persist: it truncates the logical plan to a
+        # LogicalRDD (otherwise every compaction's plan nests the previous
+        # base's full tree and Catalyst re-analysis grows quadratically
+        # across compactions) while still carrying the physical plan's
+        # outputPartitioning + outputOrdering — the no-Exchange/no-Sort
+        # burst property survives the truncation.  AQE must be OFF while
+        # the checkpoint materializes: under AQE the executed plan is an
+        # AdaptiveSparkPlanExec whose partitioning/ordering do not reach
+        # the LogicalRDD (measured: the burst then re-shuffles + re-sorts
+        # the whole base every step), and a persist()-based base loses its
+        # HashPartitioning the same way.
+        aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            new_base = (src.repartition(n, "class_key", "_salt")
+                        .sortWithinPartitions(*self._BASE_ORDER)
+                        .localCheckpoint(eager=True))
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        self._base_rows = new_base.count()
+        self._base = new_base
+        self._removed = []
+        self._removed_rows = 0
+        self._delta = self.spark.createDataFrame([], HOT_SCHEMA)
+        self._delta_rows = 0
+        self._refresh_hot_view()
+
+    def _burst_topk_tiered(self, qdf: DataFrame, now: int,
+                           salt: int) -> DataFrame:
+        """Per-queue priority top-k over the tiered frontier.
+
+        Base side: window + WindowGroupLimit directly over the cached
+        (class_key, _salt)-partitioned, priority-sorted base — NO
+        Exchange, NO Sort (plan-asserted in tests); the qdf attach and
+        the removed-fps anti-join are broadcast BHJs, which preserve both
+        properties.  The per-(queue, salt) rank bound keeps a Zipf-head
+        queue's scan a bounded heap per salt partition.  Delta side: the
+        usual salted two-phase window, exchanging only the delta.  The
+        final ranking window exchanges ≤ (salt+1)·burst_max rows per
+        queue — bounded by the burst, never by the frontier.
+        """
+        cfg = self.cfg
+        elig = F.col("earliest_ts") <= F.greatest(F.col("wake_ts"),
+                                                  F.lit(now))
+        k = cfg.burst_max
+        parts = []
+        live = self._base_live()
+        if live is not None:
+            eb = live.join(self._maybe_bcast(qdf), "class_key").where(elig)
+            w1 = Window.partitionBy("class_key", "_salt").orderBy(
+                "directive", "cost", "ordinal")
+            eb = (eb.withColumn("_srn", F.row_number().over(w1))
+                  .where(F.col("_srn") <= k).drop("_srn", "_salt"))
+            parts.append(eb)
+        ed = self._delta.join(self._maybe_bcast(qdf), "class_key").where(elig)
+        ed = top_k_per_queue(
+            ed, ["class_key"],
+            [F.col("directive"), F.col("cost"), F.col("ordinal")],
+            k, rank_col="_drn", salt_col="url_fp",
+            salt_count=salt).drop("_drn")
+        parts.append(ed)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy("class_key").orderBy(
+            "directive", "cost", "ordinal")
+        return (u.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k))
 
     def _seen_write(self, df: DataFrame, mode: str = "append") -> None:
         (df.write.mode(mode)
@@ -520,8 +668,16 @@ class CrawlJob:
         new_rows = self._ck(self._finish_candidates(c, wmap, kills)
                             .select(*NEW_COLS).unionByName(pre))
         self._journal_scheduled(new_rows)
-        self.frontier_hot = self._ck(
-            self.frontier_hot.unionByName(new_rows.select(*HOT_COLS)))
+        if self.tiered:
+            self._delta = self._ck(
+                self._delta.unionByName(new_rows.select(*HOT_COLS)))
+            self._delta_rows += sum(
+                int(r["cnt"]) for r in stats if r["cnt"])
+            self._maybe_compact_tiers()
+            self._refresh_hot_view()
+        else:
+            self.frontier_hot = self._ck(
+                self.frontier_hot.unionByName(new_rows.select(*HOT_COLS)))
         self.frontier_cold = self._ck(
             self.frontier_cold.unionByName(new_rows.select(*COLD_COLS)))
         seen_delta = self._ck(new_rows.select("url_fp", "canon_url"))
@@ -1040,13 +1196,10 @@ class CrawlJob:
             # Attach the queue's effective knobs: a broadcast join against
             # the (≤ #sheets+1)-row settings dimension.
             qdf = qdf.join(F.broadcast(self._sgroup_dims), "sgroup")
-        elig = self.frontier_hot.join(self._maybe_bcast(qdf), "class_key")
-        elig = elig.where(F.col("earliest_ts")
-                          <= F.greatest(F.col("wake_ts"), F.lit(now)))
         # Hot-host skew defusal (north_star: explicit salting): top-k with
         # WindowGroupLimit pushdown — a Zipf-head queue costs bounded
         # per-partition heaps, never one unbounded single-task sort.  The
-        # phase-1 salt pass (an extra full-frontier shuffle + sort) only
+        # phase-1 salt pass (an extra shuffle + sort of its input) only
         # engages when the unsalted map-side bound
         # (#shuffle_partitions × burst_max) would overload the final
         # window's hot-key task — see CrawlConfig.salt_auto_rows.
@@ -1058,12 +1211,20 @@ class CrawlJob:
                 salt = 1
         w = Window.partitionBy("class_key").orderBy(
             "directive", "cost", "ordinal")
-        a = (top_k_per_queue(
-                elig, ["class_key"],
-                [F.col("directive"), F.col("cost"), F.col("ordinal")],
-                cfg.burst_max, rank_col="_rn", salt_col="url_fp",
-                salt_count=salt)
-             .withColumn("_rn", F.col("_rn") - 1))
+        if self.tiered:
+            a = (self._burst_topk_tiered(qdf, now, salt)
+                 .withColumn("_rn", F.col("_rn") - 1))
+        else:
+            elig = self.frontier_hot.join(self._maybe_bcast(qdf),
+                                          "class_key")
+            elig = elig.where(F.col("earliest_ts")
+                              <= F.greatest(F.col("wake_ts"), F.lit(now)))
+            a = (top_k_per_queue(
+                    elig, ["class_key"],
+                    [F.col("directive"), F.col("cost"), F.col("ordinal")],
+                    cfg.burst_max, rank_col="_rn", salt_col="url_fp",
+                    salt_count=salt)
+                 .withColumn("_rn", F.col("_rn") - 1))
 
         # Preselector re-check (P1): re-apply the CURRENT scope fold to
         # the bounded burst.  Needs URL strings, so the burst joins the
@@ -1367,8 +1528,6 @@ class CrawlJob:
         # the cold table just appends the new rows' strings — retry rows'
         # strings are already present, removed rows' strings are dropped
         # lazily at checkpoint-time compaction.
-        removed = self.frontier_hot.join(
-            F.broadcast(sel.select("url_fp")), "url_fp", "left_anti")
         retry = (sel.where(F.col("event") == C.EV_RETRY)
                  .withColumn("retries", (F.col("retries") + 1).cast("int"))
                  .withColumn("earliest_ts",
@@ -1388,10 +1547,30 @@ class CrawlJob:
                                 .select(*NEW_COLS).unionByName(pre))
             self._journal_scheduled(new_rows)
         _mark("plan_build")
-        merged = removed.unionByName(retry)
-        if n_new:
-            merged = merged.unionByName(new_rows.select(*HOT_COLS))
-        self.frontier_hot = self._ck(merged)
+        if self.tiered:
+            # Tiered merge: processed fps join the removal chain (base
+            # rows leave via broadcast anti-join until compaction); the
+            # small delta alone is rewritten — retry re-enqueues and new
+            # rows append to it.  The untouched base is never copied.
+            sel_fps = sel.select("url_fp")
+            self._removed.append(sel_fps)
+            self._removed_rows += n_processed
+            merged = (self._delta.join(F.broadcast(sel_fps), "url_fp",
+                                       "left_anti")
+                      .unionByName(retry))
+            if n_new:
+                merged = merged.unionByName(new_rows.select(*HOT_COLS))
+                self._delta_rows += n_new
+            self._delta = self._ck(merged)
+            self._maybe_compact_tiers()
+            self._refresh_hot_view()
+        else:
+            removed = self.frontier_hot.join(
+                F.broadcast(sel.select("url_fp")), "url_fp", "left_anti")
+            merged = removed.unionByName(retry)
+            if n_new:
+                merged = merged.unionByName(new_rows.select(*HOT_COLS))
+            self.frontier_hot = self._ck(merged)
         if n_new:
             self.frontier_cold = self.frontier_cold.unionByName(
                 new_rows.select(*COLD_COLS))

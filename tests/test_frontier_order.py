@@ -331,3 +331,43 @@ def test_small_prefix_equivalence(spark, tmp_path):
     cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes())
     sim, job = _run_pair(spark, tmp_path, "small", cfg, 12)
     _assert_equal(sim, job)
+
+
+def test_frontier_tiers_off_equivalence(spark, tmp_path):
+    """The single-frame fallback (frontier_tiers=False) implements the
+    identical superstep law — the tiered default is equivalence-tested by
+    every other test in this file; this one guards the fallback."""
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        cost_policy="wag", frontier_tiers=False)
+    sim, job = _run_pair(spark, tmp_path, "tiny", cfg, None)
+    _assert_equal(sim, job)
+    assert job.done
+
+
+def test_tiered_base_no_shuffle_no_sort(spark, tmp_path):
+    """The compacted frontier BASE serves the burst window with NO shuffle
+    Exchange and NO Sort: localCheckpoint carries the repartition's
+    HashPartitioning(class_key, _salt) and sortWithinPartitions' ordering
+    into the LogicalRDD, and the broadcast removal anti-join plus the
+    eligibility filter both preserve partitioning and order.  This is the
+    10^10-frontier contract — per-step shuffle volume bounded by the
+    burst, never the frontier."""
+    from pyspark.sql import Window
+
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes())
+    _sim, job = _run_pair(spark, tmp_path, "tiny", cfg, 3)
+    job._maybe_compact_tiers(force=True)
+    assert job._base is not None and job._base_rows > 0
+    live = job._base_live() or job._base
+    w = Window.partitionBy("class_key", "_salt").orderBy(
+        "directive", "cost", "ordinal")
+    plan = (live.where(F.col("earliest_ts") <= F.lit(1 << 60))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 5)
+            ._jdf.queryExecution().executedPlan().toString())
+    # BroadcastExchange (the removal anti-join's build side) is fine;
+    # a shuffle Exchange or a Sort over the base is the regression.
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Sort [" not in plan, plan
