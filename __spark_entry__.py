@@ -391,6 +391,32 @@ def q_scope_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_postfetch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 post-fetch decide rules — FetchStatusDecideRule +
+    ContentTypeMatches/NotMatchesRegExpDecideRule + ContentLengthDecideRule
+    as one conjunctive gate expression (operators/postfetch.py), evaluated
+    over a synthesized per-doc fetch-result column set (status, mime,
+    content-length)."""
+    from heritrix_spark.operators.postfetch import gate_expr
+    d = _doc_ids(spark, sf_dir)
+    status = (F.when(F.col("doc_id") % 9 == 0, F.lit(404))
+              .when(F.col("doc_id") % 9 == 1, F.lit(503))
+              .otherwise(F.lit(200)))
+    mime = F.concat(F.lit("image/"),
+                    F.when(F.col("doc_id") % 2 == 0, F.lit("png"))
+                    .otherwise(F.lit("jpeg")))
+    nbytes = (F.lit(4096) * (F.lit(1) + F.pmod(F.col("doc_id"),
+                                               F.lit(8)))).cast("long")
+    extract_rules = {"status_in": [200], "mime_reject": "jpeg$"}
+    write_rules = {"status_in": [200, 404], "mime_accept": "^image/",
+                   "max_bytes": 4096 * 6}
+    return (d.select(
+        "doc_id",
+        gate_expr(extract_rules, status, mime, nbytes).alias("extract_ok"),
+        gate_expr(write_rules, status, mime, nbytes).alias("write_ok"))
+        .orderBy("doc_id"))
+
+
 def q_robots_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RobotsExclusionPolicy R2: longest-prefix Allow/Disallow verdict via
     operators.robots (rules_per_host + join_rules + disallowed_expr)."""
@@ -676,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_policies": q_cost_policies,
         "hop_path_ops": q_hop_path_ops,
         "scope_fold": q_scope_fold,
+        "postfetch_gates": q_postfetch_gates,
         "robots_match": q_robots_match,
         "dedup_exact": q_dedup_exact,
         "dedup_drop": q_dedup_drop,
@@ -1057,6 +1084,16 @@ def oracle_sql() -> dict[str, str]:
                        AND (doc_id % 8)
                            + CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END <= 5
                        AND doc_id % 11 <> 0) AS accepted
+            FROM documents ORDER BY doc_id
+        """,
+        "postfetch_gates": """
+            SELECT doc_id,
+                   (doc_id % 9 NOT IN (0, 1))          -- status = 200
+                   AND NOT (doc_id % 2 = 1)            -- mime_reject jpeg$
+                   AS extract_ok,
+                   (doc_id % 9 <> 1)                   -- status in (200,404)
+                   AND true                            -- mime_accept ^image/
+                   AND (4096 * (1 + doc_id % 8) <= 4096 * 6) AS write_ok
             FROM documents ORDER BY doc_id
         """,
         "robots_match": """

@@ -281,6 +281,15 @@ class CrawlConfig:
     # default: the fold is idempotent under a static scope, so the
     # discovery-time verdict is exact and the re-check pure overhead.
     recheck_scope_at_dequeue: bool = False
+    # Post-fetch decide-rule gates (S10) over the step's successful real
+    # fetches: `extract_rules` gates the outlink-extraction chain (a
+    # rejected parent contributes no candidates — discovery-visible, so
+    # oracle-mirrored), `write_rules` gates the `fetched` payload sink.
+    # Each is a conjunctive rule dict (operators/postfetch.py):
+    # status_in / mime_accept / mime_reject / max_bytes.  None = chain
+    # always runs (zero per-step cost).
+    extract_rules: dict | None = None
+    write_rules: dict | None = None
     max_steps: int = 10_000
 
     def politeness_ms(self, fetch_ms: int, crawl_delay_ms: int = 0) -> int:

@@ -21,7 +21,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from heritrix_spark import config as C
-from heritrix_spark.fixtures import websim
+from heritrix_spark.fixtures import gen, websim
+from heritrix_spark.operators import postfetch
 from heritrix_spark.functions.canonicalize import (
     canonicalize_py,
     host_of_py,
@@ -167,6 +168,18 @@ class HeritrixSim:
                 best_len, best_allow = len(prefix), allow
         return best_len >= 0 and not best_allow
 
+    def _extract_ok(self, item: Item, status: int, k: int | None) -> bool:
+        """Post-fetch extraction gate (S10) — mirrors the engine's
+        ``_postfetch_flags``: Content-Type is ``image/<fmt>`` from the
+        fixture's deterministic format law, content-length is the virtual
+        payload lattice the byte quotas charge."""
+        if self.cfg.extract_rules is None:
+            return True
+        mime = "image/" + gen.fmt_of(k) if k is not None else ""
+        return postfetch.gate_py(
+            self.cfg.extract_rules, status, mime,
+            C.payload_bytes_of(item.fp, item.kind))
+
     def _status(self, item: Item) -> int:
         if item.kind != C.KIND_REAL:
             return C.S_OK
@@ -260,11 +273,12 @@ class HeritrixSim:
                         done.append(item)
                         if item.kind == C.KIND_REAL:
                             k = websim.image_id_of_url(item.url)
-                            for j, (turl, hop) in enumerate(
-                                    websim.outlinks(k, self.spec)):
-                                candidates.append(
-                                    (turl, item.hops_path + hop, item.url,
-                                     fetch_end))
+                            if self._extract_ok(item, status, k):
+                                for j, (turl, hop) in enumerate(
+                                        websim.outlinks(k, self.spec)):
+                                    candidates.append(
+                                        (turl, item.hops_path + hop,
+                                         item.url, fetch_end))
                     elif status == C.S_RETRY and item.retries < cfg.max_retries:
                         event = C.EV_RETRY
                         charged += cfg.error_penalty

@@ -109,6 +109,7 @@ from heritrix_spark.functions.queue_assign import (
 from heritrix_spark.operators import robots as R
 from heritrix_spark.operators import uniq as U
 from heritrix_spark.operators.extract import image_id_expr, outlinks_of
+from heritrix_spark.operators.postfetch import gate_expr
 from heritrix_spark.operators.schedule import top_k_per_queue
 from heritrix_spark.operators.scope import scope_accepts_expr
 from heritrix_spark.sources.catalog import SnapshotCatalog
@@ -597,6 +598,41 @@ class CrawlJob:
             "directive", "cost", "ordinal")
         return (u.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= k))
+
+    def _postfetch_flags(self, sel: DataFrame) -> DataFrame | None:
+        """Evaluate the configured post-fetch decide rules (S10) over the
+        step's successful real fetches — bounded by the burst, never the
+        frontier.  Content-Type is the sandbox-normative ``image/<fmt>``
+        from the images dimension: the metadata join broadcasts the
+        bounded ok-set and streams the pruned (image_id, fmt) projection
+        of the images table, which never shuffles (at design scale this
+        is the same bucketed dimension the fetch probe uses, so the scan
+        is partition-local).  Content-length is the virtual payload size
+        — the same ``payload_bytes_of`` lattice the byte quotas charge
+        [H: org/archive/crawler/deciderules/FetchStatusDecideRule.java,
+        ContentTypeMatchesRegExpDecideRule.java,
+        ContentLengthDecideRule.java]."""
+        cfg = self.cfg
+        if not (cfg.extract_rules or cfg.write_rules):
+            return None
+        okr = sel.where((F.col("status") == C.S_OK)
+                        & (F.col("kind") == C.KIND_REAL))
+        meta = (self.images
+                .select("image_id",
+                        F.concat(F.lit("image/"), F.col("fmt"))
+                        .alias("_mime"))
+                .join(F.broadcast(okr.select("url_fp", "image_id",
+                                             "status")),
+                      "image_id"))
+        nbytes = (F.lit(C.PAYLOAD_LATTICE_B)
+                  * (F.lit(1) + F.pmod(F.col("url_fp"), F.lit(8))))
+        status, mime = F.col("status"), F.col("_mime")
+        cols = [F.col("url_fp")]
+        cols.append((gate_expr(cfg.extract_rules, status, mime, nbytes)
+                     if cfg.extract_rules else F.lit(True)).alias("_xok"))
+        cols.append((gate_expr(cfg.write_rules, status, mime, nbytes)
+                     if cfg.write_rules else F.lit(True)).alias("_wok"))
+        return self._ck(meta.select(*cols))
 
     def _seen_write(self, df: DataFrame, mode: str = "append") -> None:
         (df.write.mode(mode)
@@ -1371,9 +1407,16 @@ class CrawlJob:
         sel = self._ck(sel)
         _mark("burst_ck")
 
+        # --- post-fetch decide rules (S10) over the bounded ok-set --------
+        pf = self._postfetch_flags(sel)
+
         # --- extract + candidate pipeline (off the materialized burst) -----
         ok_plan = sel.where((F.col("status") == C.S_OK)
                             & (F.col("kind") == C.KIND_REAL))
+        if pf is not None and self.cfg.extract_rules:
+            ok_plan = ok_plan.join(
+                F.broadcast(pf.where(F.col("_xok")).select("url_fp")),
+                "url_fp", "left_semi")
         if ok_plan.isEmpty():
             # Drain/retry step: no successful real fetch → no outlinks.
             # A local empty candidate relation lets Catalyst collapse the
@@ -1515,6 +1558,10 @@ class CrawlJob:
                 F.sum("_time_cost").alias("vtime_ms")))
         ok = sel.where((F.col("status") == C.S_OK)
                        & (F.col("kind") == C.KIND_REAL))
+        if pf is not None and self.cfg.write_rules:
+            ok = ok.join(
+                F.broadcast(pf.where(F.col("_wok")).select("url_fp")),
+                "url_fp", "left_semi")
         # Payload join deferred to checkpoint time: parts are unioned and
         # joined against `images` once per checkpoint, not once per step.
         self._pending["fetched"].append(ok.select(

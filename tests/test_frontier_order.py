@@ -371,3 +371,38 @@ def test_tiered_base_no_shuffle_no_sort(spark, tmp_path):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Sort [" not in plan, plan
+
+
+def test_postfetch_gates_equivalence(spark, tmp_path):
+    """S10 post-fetch decide rules: the extraction gate is
+    discovery-visible (a rejected parent contributes no candidates), so
+    the whole crawl ordering must still match the oracle, which mirrors
+    the gate; the write gate filters the `fetched` sink, asserted against
+    a rule-mirror recomputation over the oracle's success events."""
+    from heritrix_spark.fixtures import gen as G
+    from heritrix_spark.functions.fingerprint import url_fp_py
+    from heritrix_spark.operators.postfetch import gate_py
+
+    wr = {"mime_accept": "^image/",
+          "max_bytes": 4 * C.PAYLOAD_LATTICE_B}
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        extract_rules={"mime_reject": "jpeg$"},
+                        write_rules=wr)
+    sim, job = _run_pair(spark, tmp_path, "tiny", cfg, 10)
+    _assert_equal(sim, job)
+
+    fetched = {r["image_id"] for r in job.fetched_df().collect()}
+    expected = set()
+    total_ok = 0
+    for e in sim.fetch_log:
+        if e["event"] != C.EV_SUCCESS or e["kind"] != C.KIND_REAL:
+            continue
+        total_ok += 1
+        k = websim.image_id_of_url(e["url"])
+        fp = url_fp_py(e["canon_url"])
+        if gate_py(wr, e["status"], "image/" + G.fmt_of(k),
+                   C.payload_bytes_of(fp, C.KIND_REAL)):
+            expected.add(f"img{k:08d}")
+    assert expected, "write gate passed nothing — vacuous"
+    assert len(expected) < total_ok, "write gate rejected nothing — vacuous"
+    assert fetched == expected
