@@ -53,8 +53,8 @@ SCALING_ENV = {
     # large bursts, ~10^6 URLs of window/join/extract work per step — is
     # the one the N-vs-4N gate is about.  Small bursts measure
     # coordination, not executor scaling (see BENCH/BASELINE.md).
-    "SPARK_GRAFT_BURST": "3072",
-    "SPARK_GRAFT_WINDOW_MS": "12000000",
+    "SPARK_GRAFT_BURST": "8192",
+    "SPARK_GRAFT_WINDOW_MS": "40000000",
     "SPARK_GRAFT_CRAWL_STEPS": "4",
     "SPARK_GRAFT_CRAWL_WARMUP": "1",
 }

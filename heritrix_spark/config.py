@@ -239,6 +239,13 @@ class CrawlConfig:
     # the delta window's exchange, and amortizes the one full-frontier
     # exchange+sort to once per ~1/frac of the frontier turning over.
     frontier_compact_frac: float = 0.25
+    # MINOR compaction: fold just the removal chain into the base with a
+    # narrow, shuffle-free, sort-free rewrite (broadcast anti-join +
+    # localCheckpoint — partitioning and ordering survive) whenever the
+    # accumulated removed fps exceed this fraction of the base.  Bounds
+    # the removal broadcast (which every per-step job rebuilds) without
+    # paying the major compaction's full exchange+sort.
+    frontier_minor_frac: float = 0.08
     # Image-existence probe placement (the FetchHTTP hit/404 source).
     #   auto      — broadcast join below ~200k images, sorted-id Arrow
     #               array above (default);

@@ -557,6 +557,31 @@ class CrawlJob:
         self._delta_rows = 0
         self._refresh_hot_view()
 
+    def _maybe_minor_compact(self) -> None:
+        """Fold the removal chain into the base with a NARROW rewrite —
+        broadcast anti-join + localCheckpoint, no Exchange, no Sort (both
+        partitioning and ordering survive, same AQE-off mechanics as the
+        major compaction).  Keeps the removal broadcast — which every
+        per-step job touching the frontier rebuilds — bounded by
+        ``frontier_minor_frac`` of the base instead of growing without
+        bound between major compactions."""
+        if self._base is None or not self._removed:
+            return
+        if (self._removed_rows
+                <= self.cfg.frontier_minor_frac * self._base_rows):
+            return
+        live = self._base_live()
+        aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            new_base = live.localCheckpoint(eager=True)
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        self._base_rows = new_base.count()
+        self._base = new_base
+        self._removed = []
+        self._removed_rows = 0
+
     def _burst_topk_tiered(self, qdf: DataFrame, now: int,
                            salt: int) -> DataFrame:
         """Per-queue priority top-k over the tiered frontier.
@@ -1610,6 +1635,7 @@ class CrawlJob:
                 self._delta_rows += n_new
             self._delta = self._ck(merged)
             self._maybe_compact_tiers()
+            self._maybe_minor_compact()
             self._refresh_hot_view()
         else:
             removed = self.frontier_hot.join(
