@@ -538,6 +538,73 @@ def q_extract_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "link_idx"))
 
 
+def q_extract_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorURI X2 via operators.extract.outlinks_uri: http(s) URLs
+    embedded in the URI's own query-string values — %-encoded (even
+    doc_ids) and bare (doc_ids % 3 == 0) — hop type X (speculative)."""
+    from heritrix_spark.operators.extract import outlinks_uri
+    ds = F.col("doc_id").cast("string")
+    enc = F.when(F.col("doc_id") % 2 == 0, F.concat(
+        F.lit("u=http%3A%2F%2Fd"), ds,
+        F.lit(".example.test%2Fp&"))).otherwise(F.lit(""))
+    bare = F.when(F.col("doc_id") % 3 == 0, F.concat(
+        F.lit("next=https://n"), ds,
+        F.lit(".example.test/x&"))).otherwise(F.lit(""))
+    via = F.concat(F.lit("http://h"), (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".example.test/go?"), enc, bare,
+                   F.lit("k="), ds)
+    d = _doc_ids(spark, sf_dir)
+    fetched = d.select("doc_id", via.alias("url"),
+                       F.lit("L").alias("hops_path"))
+    return (outlinks_uri(fetched)
+            .select("doc_id", "link_idx", "url", "hop", "hops_path")
+            .orderBy("doc_id", "link_idx"))
+
+
+def q_extract_implied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorImpliedURI X2 via operators.extract.outlinks_implied: the
+    configured (trigger, build) rewrite /thumb/N_t.jpg -> /full/N.jpg,
+    emitted only when the trigger matches (even doc_ids), hop type X."""
+    from heritrix_spark.operators.extract import outlinks_implied
+    ds = F.col("doc_id").cast("string")
+    via = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.test"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("/thumb/"), ds, F.lit("_t.jpg")))
+        .otherwise(F.concat(F.lit("/full/"), ds, F.lit(".jpg"))))
+    d = _doc_ids(spark, sf_dir)
+    fetched = d.select("doc_id", via.alias("url"),
+                       F.lit("L").alias("hops_path"))
+    return (outlinks_implied(fetched, trigger=r"/thumb/(\d+)_t\.jpg$",
+                             build=r"/full/$1.jpg")
+            .select("doc_id", "link_idx", "url", "hop", "hops_path")
+            .orderBy("doc_id", "link_idx"))
+
+
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaptiveRevisit F16 via plans.revisit.wait_schedule: the
+    WaitEvaluator clamped multiplicative walk over synthetic per-doc fetch
+    histories (3–12 fetches, one day apart; docs % 5 == 0 have a stable
+    digest so the max-wait clamp binds; others churn every 3 fetches).
+    applyInPandas per URI group — the oracle replays the same law as a
+    DuckDB recursive CTE."""
+    from heritrix_spark.plans.revisit import RevisitConfig, wait_schedule
+    d = _doc_ids(spark, sf_dir)
+    n = (F.col("doc_id") % 10 + 2).cast("int")
+    log = (d.select(F.col("doc_id").cast("long").alias("url_fp"),
+                    F.explode(F.sequence(F.lit(0), n)).alias("i"))
+           .select("url_fp",
+                   (F.col("i").cast("long") * 86_400_000)
+                   .alias("fetch_ts"),
+                   F.when(F.col("url_fp") % 5 == 0, F.lit("stable"))
+                   .otherwise(F.floor(
+                       (F.col("i") + F.col("url_fp") % 7) / 3)
+                       .cast("string")).alias("digest")))
+    return (wait_schedule(log, RevisitConfig())
+            .orderBy("url_fp", "fetch_idx"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops (dedup / similarity / text analysis) — all
 # routed through heritrix_spark.pipeline modules.
@@ -695,6 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_css": q_extract_css,
         "extract_js": q_extract_js,
         "extract_xml": q_extract_xml,
+        "extract_uri": q_extract_uri,
+        "extract_implied": q_extract_implied,
+        "revisit_schedule": q_revisit_schedule,
         "canonicalize": q_canonicalize,
         "surt": q_surt,
         "class_key": q_class_key,
@@ -998,6 +1068,62 @@ def oracle_sql() -> dict[str, str]:
                      'http://h' || m || '.example.test/feed/' || doc_id
                      || '.atom', 'L', 'LL' FROM d)
             ORDER BY doc_id, link_idx
+        """,
+        "extract_uri": """
+            WITH d AS (SELECT doc_id,
+                              doc_id % 2 = 0 AS enc,
+                              doc_id % 3 = 0 AS bare
+                       FROM documents)
+            SELECT doc_id, link_idx, url, hop, hops_path FROM (
+              SELECT doc_id, 0 AS link_idx,
+                     'http://d' || doc_id || '.example.test/p' AS url,
+                     'X' AS hop, 'LX' AS hops_path
+              FROM d WHERE enc
+              UNION ALL
+              SELECT doc_id, CASE WHEN enc THEN 1 ELSE 0 END,
+                     'https://n' || doc_id || '.example.test/x', 'X', 'LX'
+              FROM d WHERE bare)
+            ORDER BY doc_id, link_idx
+        """,
+        "extract_implied": """
+            SELECT doc_id, 0 AS link_idx,
+                   'http://h' || (doc_id % 50) || '.example.test/full/'
+                   || doc_id || '.jpg' AS url,
+                   'X' AS hop, 'LX' AS hops_path
+            FROM documents WHERE doc_id % 2 = 0
+            ORDER BY doc_id, link_idx
+        """,
+        "revisit_schedule": """
+            WITH RECURSIVE f AS (
+              SELECT doc_id AS url_fp, i.i AS fetch_idx,
+                     i.i * 86400000 AS fetch_ts,
+                     CASE WHEN doc_id % 5 = 0 THEN 'stable'
+                          ELSE CAST(CAST(floor((i.i + doc_id % 7) / 3)
+                                    AS BIGINT) AS VARCHAR)
+                     END AS digest
+              FROM documents,
+                   LATERAL (SELECT unnest(range(0, doc_id % 10 + 3)) AS i)
+                       AS i),
+            m AS (
+              SELECT *, COALESCE(digest <> LAG(digest)
+                  OVER (PARTITION BY url_fp ORDER BY fetch_idx), true)
+                  AS changed
+              FROM f),
+            walk AS (
+              SELECT url_fp, fetch_idx, fetch_ts, changed,
+                     CAST(86400000 AS DOUBLE) AS w
+              FROM m WHERE fetch_idx = 0
+              UNION ALL
+              SELECT m.url_fp, m.fetch_idx, m.fetch_ts, m.changed,
+                     CASE WHEN m.changed
+                          THEN GREATEST(walk.w / 1.5, 1000.0)
+                          ELSE LEAST(walk.w * 1.5, 2419200000.0) END
+              FROM m JOIN walk ON m.url_fp = walk.url_fp
+                              AND m.fetch_idx = walk.fetch_idx + 1)
+            SELECT url_fp, fetch_idx, fetch_ts, changed,
+                   CAST(trunc(w) AS BIGINT) AS wait_ms,
+                   fetch_ts + CAST(trunc(w) AS BIGINT) AS next_fetch_ts
+            FROM walk ORDER BY url_fp, fetch_idx
         """,
         "canonicalize": """
             SELECT doc_id,

@@ -253,6 +253,64 @@ def outlinks_xml(fetched: DataFrame, url_col: str = "url",
             .drop("_l", "parent_hops", xml_col))
 
 
+_QUERY_VAL_RE = r"(?i)[?&][^=&#]+=([^&#]*)"
+
+
+def outlinks_uri(fetched: DataFrame, url_col: str = "url",
+                 hops_col: str = "hops_path") -> DataFrame:
+    """ExtractorURI — mine the URI ITSELF for embedded URIs: query-string
+    parameter values that are (possibly %-encoded) absolute http(s) URLs,
+    e.g. ``?redir=http%3A%2F%2Fx.test%2Fp``.  Heritrix parity (class
+    anchor): ``org/archive/crawler/extractor/ExtractorURI.java`` — hop
+    type X (speculative).  Same output schema as :func:`outlinks_html`
+    (``via``, ``link_idx``, ``url``, ``hop``, ``hops_path``).  JVM-side
+    throughout: ``regexp_extract_all`` over the query string, ``url_decode``
+    via ``transform``, ``filter`` to http(s), one ``posexplode``."""
+    vals = F.regexp_extract_all(F.col(url_col), F.lit(_QUERY_VAL_RE), 1)
+    decoded = F.transform(vals, lambda v: F.when(
+        v.rlike("(?i)%3A%2F%2F"), F.try_url_decode(v)).otherwise(v))
+    urls = F.filter(decoded, lambda v: v.rlike(r"(?i)^https?://."))
+    links = F.transform(urls, lambda u: F.struct(
+        u.alias("u"), F.lit("X").alias("hop")))
+    df = (fetched
+          .select("*", F.posexplode(links).alias("link_idx", "_l"))
+          .withColumnRenamed(url_col, "via")
+          .withColumnRenamed(hops_col, "parent_hops"))
+    return (df.withColumn("url", F.col("_l.u"))
+            .withColumn("hop", F.col("_l.hop"))
+            .withColumn("hops_path",
+                        F.concat(F.col("parent_hops"), F.col("hop")))
+            .drop("_l", "parent_hops"))
+
+
+def outlinks_implied(fetched: DataFrame, trigger: str, build: str,
+                     url_col: str = "url",
+                     hops_col: str = "hops_path") -> DataFrame:
+    """ExtractorImpliedURI — one configured (trigger-regex, build-
+    replacement) rewrite of the via URI; emits the rewritten URI iff the
+    trigger matched and the result differs from the original (e.g. a
+    thumbnail URL implying its full-size image).  Heritrix parity (class
+    anchor): ``org/archive/crawler/extractor/ExtractorImpliedURI.java`` —
+    hop type X (speculative, per the 1.14 Link vocabulary L/E/X/R/P).
+    Same output schema as :func:`outlinks_html`.  JVM-side:
+    ``regexp_replace`` + one ``posexplode`` over a 0/1-element array."""
+    implied = F.regexp_replace(F.col(url_col), trigger, build)
+    emit = (F.col(url_col).rlike(trigger)
+            & (implied != F.col(url_col)) & (implied != ""))
+    links = F.when(emit, F.array(F.struct(
+        implied.alias("u"), F.lit("X").alias("hop")))).otherwise(
+        F.array().cast("array<struct<u:string,hop:string>>"))
+    df = (fetched
+          .select("*", F.posexplode(links).alias("link_idx", "_l"))
+          .withColumnRenamed(url_col, "via")
+          .withColumnRenamed(hops_col, "parent_hops"))
+    return (df.withColumn("url", F.col("_l.u"))
+            .withColumn("hop", F.col("_l.hop"))
+            .withColumn("hops_path",
+                        F.concat(F.col("parent_hops"), F.col("hop")))
+            .drop("_l", "parent_hops"))
+
+
 def outlinks_of(fetched: DataFrame, spec: FixtureSpec) -> DataFrame:
     """Explode fetched pages into candidate links.
 

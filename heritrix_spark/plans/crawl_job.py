@@ -146,13 +146,28 @@ HOT_FIELDS = [
 ]
 HOT_SCHEMA = T.StructType([T.StructField(n, t) for n, t in HOT_FIELDS])
 HOT_COLS = [n for n, _ in HOT_FIELDS]
+# Cold strings split by READ CADENCE (localCheckpoint storage is
+# row-oriented — a scan pays the bytes of every stored column, so the
+# per-step path must not share blocks with flush-only strings):
+#   COLD  (url_fp, url, hops_path)      — scanned EVERY step by the
+#         parents string-attach (and the optional dequeue scope
+#         re-check); the narrow row keeps the per-step scan ~1/3 of the
+#         full string width.
+#   COLD2 (url_fp, canon_url, host, via) — read ONLY at checkpoint flush
+#         (lineage/fetched string attachment, frontier snapshot) and by
+#         the on-demand full `frontier` view.
 COLD_FIELDS = [
     ("url_fp", T.LongType()), ("url", T.StringType()),
-    ("canon_url", T.StringType()), ("host", T.StringType()),
-    ("hops_path", T.StringType()), ("via", T.StringType()),
+    ("hops_path", T.StringType()),
 ]
 COLD_SCHEMA = T.StructType([T.StructField(n, t) for n, t in COLD_FIELDS])
 COLD_COLS = [n for n, _ in COLD_FIELDS]
+COLD2_FIELDS = [
+    ("url_fp", T.LongType()), ("canon_url", T.StringType()),
+    ("host", T.StringType()), ("via", T.StringType()),
+]
+COLD2_SCHEMA = T.StructType([T.StructField(n, t) for n, t in COLD2_FIELDS])
+COLD2_COLS = [n for n, _ in COLD2_FIELDS]
 # Full-row schema carried by candidate/prereq frames before the split.
 NEW_COLS = FRONTIER_COLS + ["precluded"]
 NEW_SCHEMA = T.StructType(
@@ -308,6 +323,7 @@ class CrawlJob:
         self.done = False
         self.frontier_hot = spark.createDataFrame([], HOT_SCHEMA)
         self.frontier_cold = spark.createDataFrame([], COLD_SCHEMA)
+        self.frontier_cold2 = spark.createDataFrame([], COLD2_SCHEMA)
         self._cold_dirty_steps = 0
         # Two-tier frontier state (cfg.frontier_tiers): BASE is a
         # compacted, (class_key, _salt)-partitioned, priority-sorted
@@ -408,6 +424,7 @@ class CrawlJob:
         checkpoint surface.  The superstep loop never builds this; it is
         reconstructed on demand and at checkpoint commits."""
         return (self.frontier_hot.join(self.frontier_cold, "url_fp")
+                .join(self.frontier_cold2, "url_fp")
                 .select(*FRONTIER_COLS))
 
     def _split_frontier(self, full: DataFrame) -> None:
@@ -422,6 +439,7 @@ class CrawlJob:
                                 F.col("robots_rules"))).drop("robots_rules")
         self.frontier_hot = self._ck(full.select(*HOT_COLS))
         self.frontier_cold = self._ck(full.select(*COLD_COLS))
+        self.frontier_cold2 = self._ck(full.select(*COLD2_COLS))
         self._cold_dirty_steps = 0
         if self.tiered:
             # Rebuild the tiers from the flat snapshot: everything starts
@@ -741,6 +759,8 @@ class CrawlJob:
                 self.frontier_hot.unionByName(new_rows.select(*HOT_COLS)))
         self.frontier_cold = self._ck(
             self.frontier_cold.unionByName(new_rows.select(*COLD_COLS)))
+        self.frontier_cold2 = self._ck(
+            self.frontier_cold2.unionByName(new_rows.select(*COLD2_COLS)))
         seen_delta = self._ck(new_rows.select("url_fp", "canon_url"))
         self._seen_add(seen_delta)
         self._pending["seen"].append(seen_delta)
@@ -1647,11 +1667,14 @@ class CrawlJob:
         if n_new:
             self.frontier_cold = self.frontier_cold.unionByName(
                 new_rows.select(*COLD_COLS))
+            self.frontier_cold2 = self.frontier_cold2.unionByName(
+                new_rows.select(*COLD2_COLS))
             self._cold_dirty_steps += 1
         if self._cold_dirty_steps >= 10:
             # Bound the cold union-chain depth between checkpoints (the
             # appends are lazy; only this compaction copies the strings).
             self.frontier_cold = self._ck(self.frontier_cold)
+            self.frontier_cold2 = self._ck(self.frontier_cold2)
             self._cold_dirty_steps = 0
         _mark("frontier_ck")
         if n_new:
@@ -1763,7 +1786,9 @@ class CrawlJob:
         if (self.catalog.latest() or {}).get("step") == step:
             return
         cold = self._ck(self.frontier_cold)
+        cold2 = self._ck(self.frontier_cold2)
         self.frontier_cold = cold
+        self.frontier_cold2 = cold2
         self._cold_dirty_steps = 0
         for table, parts in self._pending.items():
             parts = [p for p in parts if p is not None]
@@ -1772,8 +1797,10 @@ class CrawlJob:
                 for p in parts[1:]:
                     df = df.unionByName(p)
                 if table == "lineage":
-                    df = (df.join(cold.select("url_fp", "url", "canon_url"),
+                    df = (df.join(cold.select("url_fp", "url"),
                                   "url_fp", "left")
+                          .join(cold2.select("url_fp", "canon_url"),
+                                "url_fp", "left")
                           .select("crawl_step", "class_key", "url",
                                   "canon_url", "url_fp", "kind", "is_seed",
                                   "directive", "cost", "ordinal", "retries",
@@ -1785,9 +1812,10 @@ class CrawlJob:
                     # carries no payload — payload-less fixtures type the
                     # all-null bytes column as non-binary, so gate on the
                     # actual type).
-                    df = df.join(cold.select("url_fp", "url", "canon_url",
-                                             "hops_path", "via"),
-                                 "url_fp", "left")
+                    df = (df.join(cold.select("url_fp", "url", "hops_path"),
+                                  "url_fp", "left")
+                          .join(cold2.select("url_fp", "canon_url", "via"),
+                                "url_fp", "left"))
                     df = df.join(self.images, "image_id", "left")
                     digest = (F.sha1(F.col("bytes"))
                               if dict(df.dtypes).get("bytes") == "binary"
@@ -1797,13 +1825,14 @@ class CrawlJob:
             self._pending[table] = []
         self.catalog.write(
             "frontier",
-            self.frontier_hot.join(cold, "url_fp").select(*FRONTIER_COLS),
+            self.frontier_hot.join(cold, "url_fp").join(cold2, "url_fp")
+            .select(*FRONTIER_COLS),
             step)
         # Compact cold to live fingerprints by re-reading the snapshot
         # just written (no second join).
-        self.frontier_cold = self._ck(
-            self.catalog.read_snapshot("frontier", step)
-            .select(*COLD_COLS))
+        snap = self.catalog.read_snapshot("frontier", step)
+        self.frontier_cold = self._ck(snap.select(*COLD_COLS))
+        self.frontier_cold2 = self._ck(snap.select(*COLD2_COLS))
         if self.qmode == "dataframe":
             qdf = self.queues_sdf.select(*QUEUE_COLS)
         else:

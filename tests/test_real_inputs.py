@@ -224,3 +224,44 @@ def test_outlinks_xml_sitemap_locs_and_hrefs(spark):
         "http://site.test/maps/entries/4.atom",  # href relative to sitemap
     }
     assert all(r["hop"] == "L" and r["hops_path"] == "L" for r in out)
+
+
+def test_outlinks_uri_query_embedded(spark):
+    from heritrix_spark.operators.extract import outlinks_uri
+
+    rows = [
+        # %-encoded absolute URL in a query value
+        ("http://r.test/go?u=http%3A%2F%2Fdest.test%2Fp%3Fx%3D1&k=2", "L"),
+        # bare absolute URL in a query value + non-URL values skipped
+        ("http://r.test/out?next=https://other.test/a&x=abc&tel=tel:12", "LL"),
+        # no query / no URL-shaped values → no links
+        ("http://r.test/plain/page.html", "L"),
+        ("http://r.test/q?a=1&b=two", "L"),
+    ]
+    df = spark.createDataFrame(rows, "url string, hops_path string")
+    out = outlinks_uri(df).select("via", "url", "hop", "hops_path").collect()
+    got = {(r["via"], r["url"]) for r in out}
+    assert got == {
+        ("http://r.test/go?u=http%3A%2F%2Fdest.test%2Fp%3Fx%3D1&k=2",
+         "http://dest.test/p?x=1"),
+        ("http://r.test/out?next=https://other.test/a&x=abc&tel=tel:12",
+         "https://other.test/a"),
+    }
+    assert all(r["hop"] == "X" for r in out)
+    assert {r["hops_path"] for r in out} == {"LX", "LLX"}
+
+
+def test_outlinks_implied_rewrite(spark):
+    from heritrix_spark.operators.extract import outlinks_implied
+
+    rows = [
+        ("http://img.test/thumb/123_t.jpg", "LE"),   # matches → implied full
+        ("http://img.test/full/123.jpg", "LE"),      # no trigger match
+    ]
+    df = spark.createDataFrame(rows, "url string, hops_path string")
+    out = outlinks_implied(
+        df, trigger=r"/thumb/(\d+)_t\.jpg$", build=r"/full/$1.jpg"
+    ).select("via", "url", "hop", "hops_path").collect()
+    assert [(r["via"], r["url"], r["hop"], r["hops_path"]) for r in out] == [
+        ("http://img.test/thumb/123_t.jpg",
+         "http://img.test/full/123.jpg", "X", "LEX")]
