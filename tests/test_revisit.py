@@ -82,3 +82,27 @@ def test_next_due_latest_row_per_uri(spark):
     assert due[0]["wait_ms"] == 1500          # unchanged -> 1000 * 1.5
     assert due[0]["next_fetch_ts"] == 5000 + 1500
     assert due[1]["wait_ms"] == 1000          # first fetch -> initial
+
+
+def test_requeue_frontier_rewrites_earliest_ts(spark):
+    from heritrix_spark.plans.revisit import requeue_frontier
+
+    cfg = RevisitConfig(initial_wait_ms=1_000, min_wait_ms=100,
+                        max_wait_ms=100_000)
+    log = spark.createDataFrame(
+        [(1, 0, "a"), (1, 5000, "a"), (2, 0, "z")],
+        "url_fp long, fetch_ts long, digest string")
+    frontier = spark.createDataFrame(
+        [(1, "q1", 3, 0, 42), (2, "q2", 3, 7, 99), (9, "q9", 3, 1, 5)],
+        "url_fp long, class_key string, directive int, "
+        "earliest_ts long, ordinal long")
+    out = (requeue_frontier(wait_schedule(log, cfg), frontier)
+           .orderBy("url_fp").collect())
+    # only URIs with a fetch history are re-queued; column order preserved
+    assert [r["url_fp"] for r in out] == [1, 2]
+    assert out[0]["earliest_ts"] == 5000 + 1500   # latest next_fetch_ts
+    assert out[1]["earliest_ts"] == 0 + 1000      # first fetch -> initial
+    # every non-ts column survives the rewrite untouched
+    assert (out[0]["class_key"], out[0]["directive"], out[0]["ordinal"]) \
+        == ("q1", 3, 42)
+    assert out[0].__fields__ == frontier.columns
