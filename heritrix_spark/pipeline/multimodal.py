@@ -7,8 +7,9 @@ codec itself is the deterministic engine codec from
 :mod:`heritrix_spark.functions.imagecodec` (this container ships no image
 library; a PIL/ffmpeg-backed decode drops into ``_decode_one`` behind
 ``HAVE_PIL`` with zero changes to the Spark plan).  Audio/video decode is
-stubbed with :class:`NotImplementedError` but keeps the real UDF
-signatures/batch shapes so the pipeline is wireable today.
+real over the deterministic engine A/V codec
+(:mod:`heritrix_spark.functions.avcodec`) with the same external-codec
+seams (``HAVE_SOUNDFILE`` / ``HAVE_AV``).
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from heritrix_spark.functions import imagecodec
+from heritrix_spark.functions import avcodec, imagecodec
 
 IMAGE_FEATURE_SCHEMA = (
     "image_id string, w int, h int, fmt string, mean_r double, "
@@ -135,28 +136,65 @@ FRAME_SAMPLE_SCHEMA = ("video_id string, frame_idx int, ts_ms long, "
 
 
 def audio_features(clips: DataFrame) -> DataFrame:
-    """Audio feature extraction — STUB: no audio codec in this container.
-    The Spark plumbing (binary column in, Arrow batches, typed schema out)
-    is identical to image_features; wire soundfile/ffmpeg in ``run``."""
+    """Per-clip decoded audio features via Arrow-batched mapInPandas:
+    sample rate, sample count, RMS amplitude.  Real over the deterministic
+    engine audio codec (:mod:`heritrix_spark.functions.avcodec`); a
+    soundfile/ffmpeg decode drops into ``one`` behind ``HAVE_SOUNDFILE``
+    with zero changes to the Spark plan.  Same distribution contract as
+    image_features: bytes never leave the executor."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "audio decode requires an audio codec library (none in this "
-            "container); plug decode into this mapInPandas body")
-        yield  # pragma: no cover
+        def one(clip_id, data):
+            try:
+                if avcodec.HAVE_SOUNDFILE:  # absent in this container
+                    raise NotImplementedError(
+                        "soundfile decode path: wire sf.read here")
+                samples, sr = avcodec.decode_audio(bytes(data))
+                return (clip_id, sr, int(samples.shape[0]),
+                        avcodec.rms(samples), True)
+            except Exception:
+                return (clip_id, None, None, None, False)
 
-    return clips.select("clip_id", "bytes").mapInPandas(
-        run, AUDIO_FEATURE_SCHEMA)
+        for pdf in batches:
+            out = [one(i, d) for i, d in
+                   zip(pdf["clip_id"].to_numpy(), pdf["bytes"].to_numpy())]
+            yield pd.DataFrame(out, columns=[
+                "clip_id", "sample_rate", "n_samples", "rms", "decode_ok"])
+
+    return clips.select("clip_id", "bytes").where(
+        F.col("bytes").isNotNull()).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def video_frame_sample(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — STUB (same contract as audio_features)."""
+    """Sample one frame per ``every_ms`` window (the first frame whose
+    timestamp lands in the window) from each video container.  Real over
+    the engine video container (length-prefixed engine-image frames at a
+    fixed interval); an ffmpeg/PyAV path drops in behind ``HAVE_AV``.
+    Sampled frames stay ENCODED in the output — the container walk is
+    cheap, pixel decode is the expensive step and is deferred to whatever
+    consumes the sampled frame (e.g. image_features over the result)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires ffmpeg bindings (none in this "
-            "container); plug frame extraction into this mapInPandas body")
-        yield  # pragma: no cover
+        def one(video_id, data):
+            if avcodec.HAVE_AV:  # absent in this container
+                raise NotImplementedError(
+                    "PyAV decode path: wire container demux here")
+            frames, interval_ms = avcodec.decode_video(bytes(data))
+            rows, last_bucket = [], -1
+            for idx, blob in enumerate(frames):
+                ts = idx * interval_ms
+                bucket = ts // every_ms
+                if bucket != last_bucket:
+                    rows.append((video_id, idx, ts, blob))
+                    last_bucket = bucket
+            return rows
 
-    return videos.select("video_id", "bytes").mapInPandas(
-        run, FRAME_SAMPLE_SCHEMA)
+        for pdf in batches:
+            out = [r for i, d in zip(pdf["video_id"].to_numpy(),
+                                     pdf["bytes"].to_numpy())
+                   for r in one(i, bytes(d))]
+            yield pd.DataFrame(out, columns=["video_id", "frame_idx",
+                                             "ts_ms", "frame"])
+
+    return videos.select("video_id", "bytes").where(
+        F.col("bytes").isNotNull()).mapInPandas(run, FRAME_SAMPLE_SCHEMA)

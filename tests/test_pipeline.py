@@ -154,10 +154,62 @@ def test_multimodal_features_and_thumbs(spark):
     assert t0.shape == (4, 4, 3)
 
 
-def test_multimodal_stubs_raise(spark):
-    clips = spark.createDataFrame([("c1", b"xx")], "clip_id string, bytes binary")
-    with pytest.raises(Exception):
-        multimodal.audio_features(clips).collect()
+def test_avcodec_roundtrip():
+    from heritrix_spark.functions import avcodec, imagecodec
+    s = avcodec.gen_samples(3, 4000, 16_000)
+    dec, sr = avcodec.decode_audio(avcodec.encode_audio(s, 16_000))
+    assert sr == 16_000 and np.array_equal(dec, s)          # lossless
+    blob = avcodec.gen_video(5, n_frames=4, w=10, h=6, frame_interval_ms=250)
+    frames, interval = avcodec.decode_video(blob)
+    assert interval == 250 and len(frames) == 4
+    assert np.array_equal(imagecodec.decode(frames[2]),
+                          imagecodec.gen_pixels(1000 * 5 + 2, 10, 6))
+    with pytest.raises(ValueError):
+        avcodec.decode_audio(b"nope")
+    with pytest.raises(ValueError):
+        avcodec.decode_video(b"nope")
+
+
+def test_audio_features(spark):
+    from heritrix_spark.functions import avcodec
+    rows = [(f"c{k}", bytearray(avcodec.encode_audio(
+        avcodec.gen_samples(k, 1000 + 100 * k), 16_000))) for k in range(5)]
+    rows.append(("bad", bytearray(b"not-audio")))    # corrupt -> decode_ok F
+    rows.append(("nul", None))                       # null bytes filtered out
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {r["clip_id"]: r for r in
+           multimodal.audio_features(clips).collect()}
+    assert set(got) == {f"c{k}" for k in range(5)} | {"bad"}
+    assert not got["bad"]["decode_ok"]
+    for k in range(5):
+        r = got[f"c{k}"]
+        assert r["decode_ok"] and r["sample_rate"] == 16_000
+        assert r["n_samples"] == 1000 + 100 * k
+        expect = avcodec.rms(avcodec.gen_samples(k, 1000 + 100 * k))
+        assert abs(r["rms"] - expect) < 1e-12
+
+
+def test_video_frame_sample(spark):
+    from heritrix_spark.functions import avcodec, imagecodec
+    # 10 frames at 200 ms -> ts 0..1800; every_ms=1000 buckets sample
+    # the first frame of each window: idx 0 (ts 0) and idx 5 (ts 1000).
+    rows = [(f"v{k}", bytearray(avcodec.gen_video(
+        k, n_frames=10, w=8, h=8, frame_interval_ms=200))) for k in range(3)]
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary")
+    out = multimodal.video_frame_sample(videos, every_ms=1000).collect()
+    assert len(out) == 6
+    for r in out:
+        assert (r["frame_idx"], r["ts_ms"]) in [(0, 0), (5, 1000)]
+        k = int(r["video_id"][1:])
+        assert np.array_equal(
+            imagecodec.decode(bytes(r["frame"])),
+            imagecodec.gen_pixels(1000 * k + r["frame_idx"], 8, 8))
+    # sampled frames are engine-image payloads: compose with image_features
+    sampled = multimodal.video_frame_sample(videos, every_ms=1000).select(
+        F.concat_ws("#", "video_id", "frame_idx").alias("image_id"),
+        F.col("frame").alias("bytes"), F.lit("png").alias("fmt"))
+    feats = multimodal.image_features(sampled).collect()
+    assert len(feats) == 6 and all(r["decode_ok"] for r in feats)
 
 
 def test_phash_near_dup_pairs(spark):
