@@ -698,6 +698,62 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(d).select("doc_id", "lang_guess").orderBy("doc_id")
 
 
+def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode metadata over the deterministic engine codec: clips are
+    synthesized per doc_id (n_samples = 500 + 3*(doc_id % 977)), encoded
+    and decoded executor-side via pipeline.multimodal.audio_features; the
+    oracle recomputes the metadata arithmetic in SQL, so a header/payload
+    round-trip fault surfaces as a hash mismatch."""
+    import pandas as pd
+
+    from heritrix_spark.functions import avcodec
+    from heritrix_spark.pipeline.multimodal import audio_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            ks = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame({
+                "clip_id": [f"c{int(k)}" for k in ks],
+                "bytes": [avcodec.encode_audio(
+                    avcodec.gen_samples(int(k), 500 + 3 * (int(k) % 977)),
+                    16_000) for k in ks]})
+
+    clips = d.mapInPandas(enc, "clip_id string, bytes binary")
+    return (audio_features(clips)
+            .select("clip_id", "sample_rate", "n_samples")
+            .orderBy("clip_id"))
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling law over the engine frame container: videos
+    synthesized per doc_id (3 + doc_id % 8 frames at 200 ms), sampled at
+    one frame per 700 ms window via pipeline.multimodal.video_frame_sample;
+    the oracle replays the first-frame-per-bucket law with
+    generate_series, so a container-walk fault surfaces as a mismatch."""
+    import pandas as pd
+
+    from heritrix_spark.functions import avcodec
+    from heritrix_spark.pipeline.multimodal import video_frame_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            ks = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame({
+                "video_id": [f"v{int(k)}" for k in ks],
+                "bytes": [avcodec.gen_video(int(k), 3 + int(k) % 8,
+                                            w=8, h=6, frame_interval_ms=200)
+                          for k in ks]})
+
+    videos = d.mapInPandas(enc, "video_id string, bytes binary")
+    return (video_frame_sample(videos, every_ms=700)
+            .select("video_id", "frame_idx", "ts_ms")
+            .orderBy("video_id", "frame_idx"))
+
+
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k via pipeline.similarity.knn_brute (query =
     vec 0 vs the rest; rank output, float score excluded)."""
@@ -783,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_fingerprint": q_ngram_fingerprint,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
+        "audio_probe": q_audio_probe,
+        "video_frame_sample": q_video_frame_sample,
         "knn_brute": q_knn_brute,
         "embedding_neardup": q_embedding_neardup,
         "label_centroids_topk": q_label_centroids_topk,
@@ -1297,6 +1355,30 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "audio_probe": """
+            SELECT 'c' || CAST(doc_id AS VARCHAR) AS clip_id,
+                   CAST(16000 AS INT) AS sample_rate,
+                   CAST(500 + 3 * (doc_id % 977) AS BIGINT) AS n_samples
+            FROM documents ORDER BY clip_id
+        """,
+        "video_frame_sample": """
+            WITH f AS (
+                SELECT doc_id, 3 + (doc_id % 8) AS n_frames FROM documents),
+            idx AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, n_frames - 1)) AS i
+                FROM f),
+            fr AS (
+                SELECT 'v' || CAST(doc_id AS VARCHAR) AS video_id,
+                       CAST(i AS INT) AS frame_idx,
+                       CAST(i * 200 AS BIGINT) AS ts_ms,
+                       (i * 200) // 700 AS bucket
+                FROM idx)
+            SELECT video_id, min(frame_idx) AS frame_idx,
+                   min(ts_ms) AS ts_ms
+            FROM fr GROUP BY video_id, bucket
+            ORDER BY video_id, frame_idx
+        """,
         "knn_brute": """
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 0)
