@@ -113,6 +113,16 @@ KIND_DNS = "dns"
 KIND_ROBOTS = "robots"
 KIND_REAL = "real"
 
+# Internal 1-byte kind codes: the hot frontier rows carry ``kind_b``
+# (tinyint) instead of the string — a ~16 B/row saving that every per-step
+# window/scan/union pays — and the durable sinks (lineage, scheduled,
+# frontier snapshots) reconstruct the string at write time, so every
+# external schema and the oracle comparisons are unchanged.  Order matters:
+# KINDS[code] is the string.
+KINDS = [KIND_DNS, KIND_ROBOTS, KIND_REAL]
+KIND_DNS_B, KIND_ROBOTS_B, KIND_REAL_B = 0, 1, 2
+KIND_B_OF = {s: b for b, s in enumerate(KINDS)}
+
 
 @dataclass(frozen=True)
 class CrawlConfig:

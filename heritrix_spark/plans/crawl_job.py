@@ -138,7 +138,7 @@ FRONTIER_COLS = [n for n, _ in FRONTIER_FIELDS]
 # once per unique URL at candidate time instead of per dequeue.
 HOT_FIELDS = [
     ("url_fp", T.LongType()), ("class_key", T.StringType()),
-    ("image_id", T.StringType()), ("kind", T.StringType()),
+    ("image_num", T.LongType()), ("kind_b", T.ByteType()),
     ("directive", T.IntegerType()), ("cost", T.IntegerType()),
     ("ordinal", T.LongType()), ("is_seed", T.BooleanType()),
     ("retries", T.IntegerType()), ("earliest_ts", T.LongType()),
@@ -169,10 +169,47 @@ COLD2_FIELDS = [
 COLD2_SCHEMA = T.StructType([T.StructField(n, t) for n, t in COLD2_FIELDS])
 COLD2_COLS = [n for n, _ in COLD2_FIELDS]
 # Full-row schema carried by candidate/prereq frames before the split.
-NEW_COLS = FRONTIER_COLS + ["precluded"]
-NEW_SCHEMA = T.StructType(
-    list(FRONTIER_SCHEMA.fields)
-    + [T.StructField("precluded", T.BooleanType())])
+# Internal representation: image_num (long) + kind_b (tinyint) instead of
+# the image_id/kind strings — the durable surfaces (FRONTIER_COLS
+# snapshots, scheduled/lineage journals) reconstruct the strings at write
+# time via _image_id_str / _kind_str.
+NEW_FIELDS = [
+    ("url", T.StringType()), ("canon_url", T.StringType()),
+    ("url_fp", T.LongType()), ("class_key", T.StringType()),
+    ("host", T.StringType()), ("image_num", T.LongType()),
+    ("kind_b", T.ByteType()), ("directive", T.IntegerType()),
+    ("cost", T.IntegerType()), ("ordinal", T.LongType()),
+    ("hops_path", T.StringType()), ("via", T.StringType()),
+    ("is_seed", T.BooleanType()), ("retries", T.IntegerType()),
+    ("earliest_ts", T.LongType()), ("precluded", T.BooleanType()),
+]
+NEW_SCHEMA = T.StructType([T.StructField(n, t) for n, t in NEW_FIELDS])
+NEW_COLS = [n for n, _ in NEW_FIELDS]
+
+
+def _kind_str(col: Column) -> Column:
+    """tinyint kind code → the journal/snapshot string."""
+    return F.element_at(F.lit(C.KINDS), col.cast("int") + 1)
+
+
+def _kind_b_expr(col: Column) -> Column:
+    """Journal/snapshot kind string → tinyint code (resume path)."""
+    expr = F.lit(C.KIND_REAL_B)
+    expr = F.when(col == C.KIND_DNS, F.lit(C.KIND_DNS_B)).otherwise(expr)
+    return F.when(col == C.KIND_ROBOTS,
+                  F.lit(C.KIND_ROBOTS_B)).otherwise(expr).cast("byte")
+
+
+def _image_id_str(col: Column) -> Column:
+    """image_num long → the external img%08d id (NULL-preserving)."""
+    return F.when(col.isNotNull(), F.format_string("img%08d", col))
+
+
+def _image_num_expr(col: Column) -> Column:
+    """External image_id string → image_num long (resume path)."""
+    s = F.regexp_extract(col, r"(\d+)", 1)
+    return F.when(s == F.lit(""), F.lit(None).cast("long")).otherwise(
+        s.cast("long"))
 
 QUEUE_COLS = ["class_key", "wake_ts", "balance", "expenditure", "retired",
               "next_ordinal", "successes", "fetches", "bytes", "sgroup"]
@@ -270,6 +307,7 @@ class CrawlJob:
         # the storage-partitioned fetch join replaces both — SURVEY §4.)
         self._img_exists_udf = None
         self.image_ids = None
+        self._images_meta = None
         probe = cfg.image_probe
         if probe == "auto":
             probe = "array" if images.count() > 200_000 else "broadcast"
@@ -285,10 +323,12 @@ class CrawlJob:
             tbl = "heritrix_img_probe_" + format(
                 abs(url_fp_py(work_dir)), "x")
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            (images.select("image_id").withColumn("_exists", F.lit(True))
+            (images.select(
+                _image_num_expr(F.col("image_id")).alias("image_num"))
+             .withColumn("_exists", F.lit(True))
              .write.mode("overwrite")
-             .bucketBy(cfg.image_probe_buckets, "image_id")
-             .sortBy("image_id")
+             .bucketBy(cfg.image_probe_buckets, "image_num")
+             .sortBy("image_num")
              .option("path", os.path.join(work_dir, "img_probe"))
              .format("parquet").saveAsTable(tbl))
             self.image_ids = spark.table(tbl).hint("merge")
@@ -309,7 +349,9 @@ class CrawlJob:
             self._img_exists_udf = img_exists
         else:
             self.image_ids = F.broadcast(
-                images.select("image_id").withColumn("_exists", F.lit(True))
+                images.select(
+                    _image_num_expr(F.col("image_id")).alias("image_num"))
+                .withColumn("_exists", F.lit(True))
                 .persist())
         self.rules = R.rules_per_host(robots_rules)
         if host_config is not None:
@@ -425,6 +467,8 @@ class CrawlJob:
         reconstructed on demand and at checkpoint commits."""
         return (self.frontier_hot.join(self.frontier_cold, "url_fp")
                 .join(self.frontier_cold2, "url_fp")
+                .withColumn("image_id", _image_id_str(F.col("image_num")))
+                .withColumn("kind", _kind_str(F.col("kind_b")))
                 .select(*FRONTIER_COLS))
 
     def _split_frontier(self, full: DataFrame) -> None:
@@ -437,6 +481,9 @@ class CrawlJob:
             (F.col("kind") == C.KIND_REAL)
             & R.disallowed_expr(path_expr(F.col("url")),
                                 F.col("robots_rules"))).drop("robots_rules")
+        full = (full
+                .withColumn("image_num", _image_num_expr(F.col("image_id")))
+                .withColumn("kind_b", _kind_b_expr(F.col("kind"))))
         self.frontier_hot = self._ck(full.select(*HOT_COLS))
         self.frontier_cold = self._ck(full.select(*COLD_COLS))
         self.frontier_cold2 = self._ck(full.select(*COLD2_COLS))
@@ -659,14 +706,18 @@ class CrawlJob:
         if not (cfg.extract_rules or cfg.write_rules):
             return None
         okr = sel.where((F.col("status") == C.S_OK)
-                        & (F.col("kind") == C.KIND_REAL))
-        meta = (self.images
-                .select("image_id",
-                        F.concat(F.lit("image/"), F.col("fmt"))
-                        .alias("_mime"))
-                .join(F.broadcast(okr.select("url_fp", "image_id",
+                        & (F.col("kind_b") == C.KIND_REAL_B))
+        if self._images_meta is None:
+            # One-time (image_num, mime) projection — the per-step scan
+            # below pays two narrow columns, no repeated id parsing.
+            self._images_meta = self.images.select(
+                _image_num_expr(F.col("image_id")).alias("image_num"),
+                F.concat(F.lit("image/"), F.col("fmt")).alias("_mime")
+            ).persist()
+        meta = (self._images_meta
+                .join(F.broadcast(okr.select("url_fp", "image_num",
                                              "status")),
-                      "image_id"))
+                      "image_num"))
         nbytes = (F.lit(C.PAYLOAD_LATTICE_B)
                   * (F.lit(1) + F.pmod(F.col("url_fp"), F.lit(8))))
         status, mime = F.col("status"), F.col("_mime")
@@ -916,13 +967,11 @@ class CrawlJob:
                         queue_key_expr(F.col("url"), cfg.queue_assignment,
                                        cfg.queue_buckets))
             .withColumn("host", host_expr(F.col("url")))
-            .withColumn("image_id", F.when(
-                image_id_expr(F.col("url")).isNotNull(),
-                F.format_string("img%08d", image_id_expr(F.col("url")))))
+            .withColumn("image_num", image_id_expr(F.col("url")))
             .withColumn("cost",
                         POLICIES_EXPR[cfg.cost_policy](F.col("url"))
                         .cast("int"))
-            .withColumn("kind", F.lit(C.KIND_REAL))
+            .withColumn("kind_b", F.lit(C.KIND_REAL_B).cast("byte"))
             .withColumn("retries", F.lit(0).cast("int"))
         )
         # Robots verdict (R2) once per unique URL at discovery — the rule
@@ -1177,9 +1226,10 @@ class CrawlJob:
         pre = (
             pre.withColumn("canon_url", canonicalize_expr(F.col("url")))
             .withColumn("url_fp", F.xxhash64(F.col("canon_url")))
-            .withColumn("image_id", F.lit(None).cast("string"))
-            .withColumn("kind", F.when(F.col("_i") == 0, C.KIND_DNS)
-                        .otherwise(C.KIND_ROBOTS))
+            .withColumn("image_num", F.lit(None).cast("long"))
+            .withColumn("kind_b",
+                        F.when(F.col("_i") == 0, F.lit(C.KIND_DNS_B))
+                        .otherwise(F.lit(C.KIND_ROBOTS_B)).cast("byte"))
             .withColumn("directive", F.lit(C.HIGH).cast("int"))
             .withColumn("cost", F.lit(1).cast("int"))
             .withColumn("ordinal",
@@ -1315,7 +1365,7 @@ class CrawlJob:
         if cfg.recheck_scope_at_dequeue:
             a = (self.frontier_cold.select("url_fp", "url", "hops_path")
                  .join(F.broadcast(a), "url_fp"))
-            oos = ((F.col("kind") == C.KIND_REAL)
+            oos = ((F.col("kind_b") == C.KIND_REAL_B)
                    & ~scope_accepts_expr(cfg, F.col("url"),
                                          F.col("hops_path")))
             a = a.withColumn("_oos", oos).drop("url", "hops_path")
@@ -1329,16 +1379,14 @@ class CrawlJob:
         if self._img_exists_udf is not None:
             b = b.withColumn(
                 "_exists", F.when(
-                    F.col("image_id").isNotNull()
-                    & self._img_exists_udf(
-                        F.regexp_extract("image_id", r"(\d+)", 1)
-                        .cast("long")),
+                    F.col("image_num").isNotNull()
+                    & self._img_exists_udf(F.col("image_num")),
                     F.lit(True)))
         else:
-            b = b.join(self.image_ids, "image_id", "left")
+            b = b.join(self.image_ids, "image_num", "left")
         b = b.withColumn(
             "status",
-            F.when(F.col("kind") != C.KIND_REAL, F.lit(C.S_OK))
+            F.when(F.col("kind_b") != C.KIND_REAL_B, F.lit(C.S_OK))
             .when(F.col("_oos"), F.lit(C.S_OUT_OF_SCOPE))
             .when(F.col("_precluded"), F.lit(C.S_ROBOTS_PRECLUDED))
             .when((F.col("retries") == 0)
@@ -1355,7 +1403,7 @@ class CrawlJob:
             # it, so the pre-quota running sums decide exactly the rows
             # the sequential oracle blocks.
             wq = w.rowsBetween(Window.unboundedPreceding, -1)
-            real = F.col("kind") == C.KIND_REAL
+            real = F.col("kind_b") == C.KIND_REAL_B
             unfetched = F.col("_precluded") | F.col("_oos")
             succ = real & ~unfetched & (F.col("status") == C.S_OK)
             csucc = F.coalesce(F.sum(succ.cast("long")).over(wq), F.lit(0))
@@ -1392,7 +1440,7 @@ class CrawlJob:
                              .otherwise(F.col("status"))))
         else:
             b = b.withColumn("_blocked", F.lit(False))
-        fetch_ms = F.when(F.col("kind") == C.KIND_DNS,
+        fetch_ms = F.when(F.col("kind_b") == C.KIND_DNS_B,
                           F.lit(C.DNS_FETCH_MS)).otherwise(
             F.lit(C.LATTICE_MS) * (F.lit(1) + F.pmod(F.col("url_fp"),
                                                      F.lit(4))))
@@ -1457,7 +1505,7 @@ class CrawlJob:
 
         # --- extract + candidate pipeline (off the materialized burst) -----
         ok_plan = sel.where((F.col("status") == C.S_OK)
-                            & (F.col("kind") == C.KIND_REAL))
+                            & (F.col("kind_b") == C.KIND_REAL_B))
         if pf is not None and self.cfg.extract_rules:
             ok_plan = ok_plan.join(
                 F.broadcast(pf.where(F.col("_xok")).select("url_fp")),
@@ -1497,7 +1545,7 @@ class CrawlJob:
         # --- ONE O(#queues) stats job: burst effects ∪ candidate counts ----
         # ∪ per-queue min-earliest of the rows this step leaves untouched
         # (the virtual-clock input — no separate clock job, judge fix #3).
-        real = F.col("kind") == C.KIND_REAL
+        real = F.col("kind_b") == C.KIND_REAL_B
         sel_stats = sel.groupBy("class_key").agg(
             F.count("*").alias("n"),
             F.max("wake_ts").alias("wake0"),
@@ -1516,8 +1564,8 @@ class CrawlJob:
             .alias("rresp"),
             F.sum((F.col("event") == C.EV_FAILURE).cast("long"))
             .alias("nfail"),
-            F.max((F.col("kind") == C.KIND_DNS).cast("int")).alias("dns_ok"),
-            F.max(((F.col("kind") == C.KIND_ROBOTS)
+            F.max((F.col("kind_b") == C.KIND_DNS_B).cast("int")).alias("dns_ok"),
+            F.max(((F.col("kind_b") == C.KIND_ROBOTS_B)
                    & (F.col("event") == C.EV_SUCCESS)).cast("int"))
             .alias("rob_ok"),
             F.min(F.when(F.col("event") == C.EV_RETRY,
@@ -1580,7 +1628,8 @@ class CrawlJob:
         # touches strings.
         events = sel.select(
             F.lit(self.step).alias("crawl_step"), "class_key",
-            "url_fp", "kind", "is_seed", "directive", "cost",
+            "url_fp", _kind_str(F.col("kind_b")).alias("kind"),
+            "is_seed", "directive", "cost",
             "ordinal",
             (F.col("retries") + F.when(F.col("event") == C.EV_RETRY,
                                        F.lit(1)).otherwise(F.lit(0)))
@@ -1602,7 +1651,7 @@ class CrawlJob:
                 F.sum("_charge").alias("charged"),
                 F.sum("_time_cost").alias("vtime_ms")))
         ok = sel.where((F.col("status") == C.S_OK)
-                       & (F.col("kind") == C.KIND_REAL))
+                       & (F.col("kind_b") == C.KIND_REAL_B))
         if pf is not None and self.cfg.write_rules:
             ok = ok.join(
                 F.broadcast(pf.where(F.col("_wok")).select("url_fp")),
@@ -1611,7 +1660,8 @@ class CrawlJob:
         # joined against `images` once per checkpoint, not once per step.
         self._pending["fetched"].append(ok.select(
             F.lit(self.step).alias("crawl_step"),
-            "url_fp", "class_key", "image_id",
+            "url_fp", "class_key",
+            _image_id_str(F.col("image_num")).alias("image_id"),
             "fetch_start", "fetch_end",
             F.col("status").alias("fetch_status")))
 
@@ -1826,6 +1876,8 @@ class CrawlJob:
         self.catalog.write(
             "frontier",
             self.frontier_hot.join(cold, "url_fp").join(cold2, "url_fp")
+            .withColumn("image_id", _image_id_str(F.col("image_num")))
+            .withColumn("kind", _kind_str(F.col("kind_b")))
             .select(*FRONTIER_COLS),
             step)
         # Compact cold to live fingerprints by re-reading the snapshot
@@ -2129,7 +2181,11 @@ class CrawlJob:
         processed-event ``lineage`` reports stay pure."""
         self._pending["scheduled"].append(new_rows.select(
             F.lit(self.step).alias("crawl_step"),
-            *[F.col(c) for c in FRONTIER_COLS],
+            *[_image_id_str(F.col("image_num")).alias("image_id")
+              if c == "image_id"
+              else _kind_str(F.col("kind_b")).alias("kind")
+              if c == "kind" else F.col(c)
+              for c in FRONTIER_COLS],
             F.lit(C.EV_SCHEDULED).alias("event")))
 
     # -------------------------------------------------------------- accessors

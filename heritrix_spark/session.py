@@ -71,6 +71,14 @@ def get_spark(
          else "/tmp/spark-local") if local else None)
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # Generic conf passthrough for experiments / site tuning:
+    #   SPARK_GRAFT_CONF='spark.io.compression.codec=zstd;spark.foo=bar'
+    # Applied before extra_conf so programmatic callers win.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for item in filter(None, (s.strip() for s in env_conf.split(";"))):
+        k, _, v = item.partition("=")
+        if k and v:
+            builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

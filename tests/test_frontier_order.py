@@ -288,10 +288,8 @@ def test_bucketed_image_probe_equivalence_and_plan(spark, tmp_path):
     _assert_equal(sim, job)
     # Plan shape: storage-partitioned probe join — bucketed scan on the
     # images side (no Exchange, no Sort), one Exchange total (burst side).
-    burst = spark.range(500).select(
-        F.format_string("img%08d", F.col("id").cast("int"))
-        .alias("image_id"))
-    plan = (burst.join(job.image_ids, "image_id", "left")
+    burst = spark.range(500).select(F.col("id").alias("image_num"))
+    plan = (burst.join(job.image_ids, "image_num", "left")
             ._jdf.queryExecution().executedPlan().toString())
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
