@@ -225,9 +225,17 @@ class CrawlConfig:
     #               only work-proportional burst/candidate stats and a
     #               1-row clock aggregate, never O(#queues) traffic —
     #               the 10^7-10^8-queue sharding path.
-    # Both modes implement the identical superstep law
-    # (equivalence-tested event-for-event).
+    #   auto      — start pandas, promote to dataframe ONCE when the
+    #               queue table first exceeds queue_state_auto_threshold
+    #               rows (a one-time O(#queues) createDataFrame, after
+    #               which driver traffic is work-proportional).  The
+    #               threshold default is the measured crossover on the
+    #               round-3 box (BENCH/BASELINE.md queue-state table:
+    #               pandas wins at 2k-20k queues, dataframe from ~10^4.5).
+    # All modes implement the identical superstep law
+    # (equivalence-tested event-for-event, including promotion mid-crawl).
     queue_state_mode: str = "pandas"
+    queue_state_auto_threshold: int = 20_000
     # Frontier storage tiers (the N→4N scaling shape).
     #   True  — two-tier frontier: a compacted BASE cached columnar,
     #           hash-partitioned by (class_key, salt) and sorted by the

@@ -390,7 +390,14 @@ class CrawlJob:
         # driver then sees only work-proportional stats and a 1-row clock
         # aggregate (the 10^7+ queue sharding path, SURVEY §4 / judge
         # wrong #3).  Identical law, equivalence-tested.
-        self.qmode = cfg.queue_state_mode
+        # "auto" starts driver-resident and promotes to the DataFrame
+        # path the first time #queues crosses cfg.queue_state_auto_
+        # threshold (_maybe_promote_queue_state) — small crawls never pay
+        # the per-step clock job, big crawls never pay O(#queues) driver
+        # round-trips past the crossover.
+        self._qmode_auto = cfg.queue_state_mode == "auto"
+        self.qmode = ("pandas" if self._qmode_auto
+                      else cfg.queue_state_mode)
         self.queues = _empty_queue_pdf()
         self.host_state = _empty_host_pdf()
         self.queues_sdf = spark.createDataFrame([], QUEUE_SCHEMA)
@@ -743,6 +750,28 @@ class CrawlJob:
         else:
             self.seen = self.seen.unionByName(delta)
 
+    def _maybe_promote_queue_state(self) -> None:
+        """auto mode: one-time pandas → dataframe promotion once the
+        queue table outgrows the measured crossover (the point where the
+        per-step O(#queues) serialize+broadcast+collect of pandas mode
+        costs more than dataframe mode's extra 1-row clock job — see the
+        BENCH/BASELINE.md queue-state placement table).  State converts
+        with one createDataFrame each; the superstep law is unchanged
+        (equivalence-tested across the promotion boundary)."""
+        if (not self._qmode_auto or self.qmode == "dataframe"
+                or len(self.queues) <= self.cfg.queue_state_auto_threshold):
+            return
+        self.queues_sdf = self._ck(self.spark.createDataFrame(
+            _normalize_queues(self.queues)[QUEUE_COLS], QUEUE_SCHEMA))
+        self.host_state_sdf = self._ck(self.spark.createDataFrame(
+            self.host_state[HOST_STATE_COLS], HOST_STATE_SCHEMA)
+            if len(self.host_state)
+            else self.spark.createDataFrame([], HOST_STATE_SCHEMA))
+        self.qmode = "dataframe"
+        self.queues = _empty_queue_pdf()
+        self.host_state = _empty_host_pdf()
+        self._me_map = {}  # clock is in-plan from here on
+
     def _queues_df(self, cols: list[str]) -> DataFrame:
         if self.qmode == "dataframe":
             return self.queues_sdf.select(*cols)
@@ -825,6 +854,7 @@ class CrawlJob:
                     self._me_map[ck] = min(self._me_map.get(ck, me), me)
         self._bloom_fold_delta(c, sum(int(r["cnt"]) for r in stats))
         self._maybe_activate_bloom()
+        self._maybe_promote_queue_state()
         self._advance_clock()
 
     # ------------------------------------------------------------- candidates
@@ -1755,6 +1785,7 @@ class CrawlJob:
         if self.step % self.checkpoint_interval == 0:
             self.checkpoint()
         self._maybe_activate_bloom()
+        self._maybe_promote_queue_state()
         self._advance_clock()
         if _TRACE:
             parts, prev = [], _t0
@@ -1936,6 +1967,10 @@ class CrawlJob:
             hpdf = job.catalog.read_snapshot("host_state", step).toPandas()
             job.host_state = (hpdf[HOST_STATE_COLS] if len(hpdf)
                               else _empty_host_pdf())
+            # auto mode: promote straight away when the restored table is
+            # already past the crossover (skips the O(#queues) clock-map
+            # collect below too).
+            job._maybe_promote_queue_state()
         if job.catalog.has_log("seen"):
             restored = (job.catalog.read_log("seen", step)
                         .select("url_fp", "canon_url"))

@@ -224,6 +224,64 @@ def test_queue_state_dataframe_equivalence(spark, tmp_path):
         k: tuple(v) for k, v in restored.items()}
 
 
+def test_queue_state_auto_promotion_equivalence(spark, tmp_path):
+    """queue_state_mode='auto': starts driver-resident, promotes to the
+    DataFrame path mid-crawl when #queues crosses the threshold.  With
+    threshold=2 on the 3-host tiny web the promotion fires during the
+    run; the crawl stays event-identical to the oracle across the
+    boundary, the post-promotion queue table mirrors the oracle's, and a
+    resume of the auto config from a post-promotion checkpoint restores
+    the promoted table (no pointless pandas round-trip)."""
+    spec = websim.SPECS["tiny"]
+    paths = gen.write_fixture(spec, str(tmp_path / "fix_qa"))
+    seed_urls = websim.seeds(spec)
+    cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        queue_state_mode="auto",
+                        queue_state_auto_threshold=2)
+    sim = HeritrixSim(spec, cfg)
+    sim.schedule_seeds(seed_urls)
+    sim.run(8)
+    kw = dict(images=spark.read.parquet(paths["images"]),
+              robots_rules=spark.read.parquet(paths["robots"]),
+              host_config=spark.read.parquet(paths["host_config"]),
+              work_dir=str(tmp_path / "work_qa"))
+    job = CrawlJob(spark, spec, cfg, **kw)
+    assert job.qmode == "pandas"  # auto starts driver-resident
+    job.schedule_seeds(seed_urls)
+    job.run(8)
+    assert job.qmode == "dataframe"  # promotion fired mid-crawl
+    assert len(job.queues) == 0  # pandas state released
+    _assert_equal(sim, job)
+    qrows = {r["class_key"]: r for r in job.queues_sdf.collect()}
+    assert set(qrows) == set(sim.queues)
+    for ck, q in sim.queues.items():
+        r = qrows[ck]
+        assert (r["wake_ts"], r["balance"], r["expenditure"],
+                r["next_ordinal"], r["successes"], r["fetches"],
+                r["retired"]) == (
+            q.wake_ts, q.balance, q.expenditure, q.next_ordinal,
+            q.successes, q.fetches, q.retired), ck
+    job.checkpoint()
+    job2 = CrawlJob.resume(spark, spec, cfg, **kw)
+    assert job2.qmode == "dataframe"  # re-promoted straight at resume
+    restored = {r["class_key"]: r for r in job2.queues_sdf.collect()}
+    assert {k: tuple(v) for k, v in qrows.items()} == {
+        k: tuple(v) for k, v in restored.items()}
+    # High threshold: auto never promotes, behaves as pandas end-to-end.
+    cfg_hi = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                           queue_state_mode="auto",
+                           queue_state_auto_threshold=10_000)
+    job3 = CrawlJob(spark, spec, cfg_hi,
+                    images=spark.read.parquet(paths["images"]),
+                    robots_rules=spark.read.parquet(paths["robots"]),
+                    host_config=spark.read.parquet(paths["host_config"]),
+                    work_dir=str(tmp_path / "work_qa_hi"))
+    job3.schedule_seeds(seed_urls)
+    job3.run(8)
+    assert job3.qmode == "pandas"
+    _assert_equal(sim, job3)
+
+
 @pytest.mark.parametrize("qmode", ["pandas", "dataframe"])
 def test_host_settings_overrides_equivalence(spark, tmp_path, qmode):
     """O5 settings sheets: per-host overrides of politeness/budget/quota
