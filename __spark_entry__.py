@@ -587,8 +587,10 @@ def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     WaitEvaluator clamped multiplicative walk over synthetic per-doc fetch
     histories (3–12 fetches, one day apart; docs % 5 == 0 have a stable
     digest so the max-wait clamp binds; others churn every 3 fetches).
-    applyInPandas per URI group — the oracle replays the same law as a
-    DuckDB recursive CTE."""
+    The fold runs JVM-side (sorted collect_list + ``aggregate`` HOF per
+    URI — the measured-and-kept variant; the applyInPandas version was
+    rejected on cost) — the oracle replays the same law as a DuckDB
+    recursive CTE."""
     from heritrix_spark.plans.revisit import RevisitConfig, wait_schedule
     d = _doc_ids(spark, sf_dir)
     n = (F.col("doc_id") % 10 + 2).cast("int")

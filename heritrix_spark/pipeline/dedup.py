@@ -121,8 +121,17 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, n: int = 3,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """Exact Jaccard verification of candidate pairs (LSH refine step)."""
-    sh = shingles(df, n, id_col, text_col)
+    """Exact Jaccard verification of candidate pairs (LSH refine step).
+
+    Shingle sets are built ONLY for documents that appear in a candidate
+    pair (semi-join first): the refine pass costs O(candidates), never a
+    second full-corpus shingle scan — at corpus scale the pair set is a
+    vanishing fraction of the documents, and re-shingling everything to
+    verify a few pairs was the round-3 bench's slowest query."""
+    need = (pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .dropDuplicates([id_col]))
+    sh = shingles(df.join(need, id_col, "left_semi"), n, id_col, text_col)
     sets = sh.groupBy(id_col).agg(
         F.collect_set("shingle").alias("sset"))
     a = sets.select(F.col(id_col).alias("id_a"),

@@ -63,15 +63,6 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    if local:
-        # Throughput GC for the single-JVM batch driver: the crawl loop
-        # churns short-lived UnsafeRow/codegen garbage at a steady rate
-        # and has no latency SLO, which is ParallelGC's best case
-        # (measured: +2% over the G1 default on the bench2 8-core leg,
-        # round 3).  Local mode only — on a cluster the executor JVMs
-        # are sized/tuned by the site's spark-defaults.
-        builder = builder.config("spark.driver.extraJavaOptions",
-                                 "-XX:+UseParallelGC")
     # Shuffle/spill on tmpfs in LOCAL mode only (single-box shuffle writes
     # otherwise serialize on disk bandwidth and flatten core scaling);
     # clusters keep manager-provisioned dirs unless overridden.
@@ -82,15 +73,33 @@ def get_spark(
         builder = builder.config("spark.local.dir", local_dir)
     # Generic conf passthrough for experiments / site tuning:
     #   SPARK_GRAFT_CONF='spark.io.compression.codec=zstd;spark.foo=bar'
-    # Applied before extra_conf so programmatic callers win.
+    # Merged into one dict (env first, programmatic callers win) so the
+    # local-mode GC default below can MERGE with — not be replaced by —
+    # a user-supplied spark.driver.extraJavaOptions.
+    merged: dict[str, str] = {}
     env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
     for item in filter(None, (s.strip() for s in env_conf.split(";"))):
         k, _, v = item.partition("=")
         if k and v:
-            builder = builder.config(k.strip(), v.strip())
+            merged[k.strip()] = v.strip()
     if extra_conf:
-        for k, v in extra_conf.items():
-            builder = builder.config(k, v)
+        merged.update(extra_conf)
+    if local:
+        # Throughput GC for the single-JVM batch driver: the crawl loop
+        # churns short-lived UnsafeRow/codegen garbage at a steady rate
+        # and has no latency SLO, which is ParallelGC's best case
+        # (measured: +2% over the G1 default on the bench2 8-core leg,
+        # round 3).  Local mode only — on a cluster the executor JVMs
+        # are sized/tuned by the site's spark-defaults.  Appended to any
+        # user-provided extraJavaOptions (last -XX wins in HotSpot, so a
+        # user passing -XX:+UseG1GC there still gets their collector —
+        # the JVM takes the final flag; prepending keeps their choice
+        # authoritative).
+        user_opts = merged.get("spark.driver.extraJavaOptions", "")
+        merged["spark.driver.extraJavaOptions"] = (
+            "-XX:+UseParallelGC " + user_opts).strip()
+    for k, v in merged.items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
