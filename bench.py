@@ -41,6 +41,8 @@ BURST_MAX = int(os.environ.get("SPARK_GRAFT_BURST", "1024"))
 # Exchange) rather than the in-memory union chain.  Set =0 to compare.
 DURABLE_SEEN = os.environ.get("SPARK_GRAFT_DURABLE_SEEN", "1") not in ("",
                                                                        "0")
+# A/B knob for the URL-seen bloom prefilter (default on, auto-sized).
+BLOOM = os.environ.get("SPARK_GRAFT_BLOOM", "1") not in ("", "0")
 
 
 def _spark(cores: int):
@@ -97,7 +99,7 @@ def bench_crawl(spark, work_root: str) -> dict:
     shutil.rmtree(work, ignore_errors=True)
     cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
                         max_steps=CRAWL_STEPS, window_ms=WINDOW_MS,
-                        burst_max=BURST_MAX)
+                        burst_max=BURST_MAX, use_bloom_prefilter=BLOOM)
     job = CrawlJob(
         spark, spec, cfg,
         images=spark.read.parquet(paths["images"]),
@@ -122,6 +124,7 @@ def bench_crawl(spark, work_root: str) -> dict:
         if job.done:
             break
         warm += job.superstep()
+    job.phase_secs = {}  # report phase medians over MEASURED steps only
     t0 = time.time()
     processed = 0
     steps = 0
@@ -129,6 +132,7 @@ def bench_crawl(spark, work_root: str) -> dict:
         processed += job.superstep()
         steps += 1
     elapsed = time.time() - t0
+    import statistics
     out = {
         "crawl_spec": spec.name,
         "crawl_steps_measured": steps,
@@ -136,6 +140,10 @@ def bench_crawl(spark, work_root: str) -> dict:
         "crawl_sec": round(elapsed, 2),
         "crawl_urls_per_sec": round(processed / elapsed, 1) if elapsed else 0,
         "crawl_durable_seen": DURABLE_SEEN,
+        # Per-superstep phase medians (sec) — the round-over-round
+        # regression localizer; same marks as SPARK_GRAFT_TRACE.
+        "phases": {k: round(statistics.median(v), 3)
+                   for k, v in job.phase_secs.items()},
     }
     if DURABLE_SEEN:
         # Assert the storage-partitioned anti-join shape on the measured

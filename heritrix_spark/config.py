@@ -204,7 +204,16 @@ class CrawlConfig:
     # UDF AND the exact anti-join, pure overhead), so once the cap gives
     # < 4 bits/key the prefilter suspends instead.  Output is identical
     # in every regime (prefilter-only, exact anti-join always backs it).
-    use_bloom_prefilter: bool = True
+    #
+    # DEFAULT OFF (round-4 A/B, BENCH/BASELINE.md): against the durable
+    # BUCKETED seen table the exact anti-join is storage-partitioned and
+    # cheap, while the probe ships every distinct candidate fp through an
+    # Arrow UDF round-trip — measured 9.3k vs 12.9k URLs/s at 16 cores
+    # on the 10^7-URL bench even with the bitmap correctly sized.  The
+    # component (BloomUriUniqFilter analog, U3) remains fully built,
+    # equivalence-tested, and opt-in for deployments where the seen scan
+    # dominates (e.g. non-bucketed external stores).
+    use_bloom_prefilter: bool = False
     bloom_min_seen: int = 100_000
     bloom_bits: int = 1 << 23
     bloom_max_bits: int = 1 << 29

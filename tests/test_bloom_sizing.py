@@ -31,7 +31,8 @@ def _mk_job(spark, tmp_path, cfg, name="fixb"):
 
 
 def test_bloom_size_law(spark, tmp_path):
-    cfg = C.CrawlConfig(bloom_bits=1 << 16, bloom_max_bits=1 << 24)
+    cfg = C.CrawlConfig(use_bloom_prefilter=True,
+                        bloom_bits=1 << 16, bloom_max_bits=1 << 24)
     job = _mk_job(spark, tmp_path, cfg)
     # Floor: small seen sets stay at cfg.bloom_bits.
     assert job._bloom_size_for(10) == 1 << 16
@@ -50,6 +51,7 @@ def test_bloom_activation_sizes_to_seen(spark, tmp_path):
     """Activation after a large seed ingest builds at the grown size, not
     the floor."""
     cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        use_bloom_prefilter=True,
                         bloom_min_seen=0, bloom_bits=1 << 10)
     job = _mk_job(spark, tmp_path, cfg, "fixb2")
     job.schedule_seeds(websim.seeds(websim.SPECS["tiny"]))
@@ -65,6 +67,7 @@ def test_bloom_saturation_suspends(spark, tmp_path):
     """When even the cap would give < 4 bits/key, activation suspends the
     prefilter instead of building a saturated bitmap."""
     cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        use_bloom_prefilter=True,
                         bloom_min_seen=0, bloom_bits=1 << 4,
                         bloom_max_bits=1 << 4)
     job = _mk_job(spark, tmp_path, cfg, "fixb3")

@@ -172,6 +172,7 @@ def test_bloom_prefilter_equivalence(spark, tmp_path):
     step 0, the crawl is event-identical to the oracle — the bloom only
     routes candidates, it never drops (north_rule: exact seen set)."""
     cfg = C.CrawlConfig(surt_prefixes=websim.scope_surt_prefixes(),
+                        use_bloom_prefilter=True,
                         bloom_min_seen=0, bloom_bits=1 << 16)
     sim, job = _run_pair(spark, tmp_path, "tiny", cfg, 8)
     _assert_equal(sim, job)
