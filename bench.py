@@ -41,8 +41,10 @@ BURST_MAX = int(os.environ.get("SPARK_GRAFT_BURST", "1024"))
 # Exchange) rather than the in-memory union chain.  Set =0 to compare.
 DURABLE_SEEN = os.environ.get("SPARK_GRAFT_DURABLE_SEEN", "1") not in ("",
                                                                        "0")
-# A/B knob for the URL-seen bloom prefilter (default on, auto-sized).
-BLOOM = os.environ.get("SPARK_GRAFT_BLOOM", "1") not in ("", "0")
+# A/B knob for the URL-seen bloom prefilter (default follows the engine
+# default: OFF — see CrawlConfig.use_bloom_prefilter + BENCH/BASELINE.md
+# round-4 A/B; set =1 to measure the prefilter path).
+BLOOM = os.environ.get("SPARK_GRAFT_BLOOM", "0") not in ("", "0")
 
 
 def _spark(cores: int):

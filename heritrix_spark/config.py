@@ -255,13 +255,14 @@ class CrawlConfig:
     # cheap small-crawl steps AND never rides O(#queues) driver
     # round-trips past the crossover (round-3 judge wrong #3).
     queue_state_mode: str = "auto"
-    # Promotion threshold.  The round-3 table bracketed the crossover
-    # between 20k (pandas 2.46 vs dataframe 3.38 s/step) and 100k
-    # (pandas 7.9 vs dataframe 3.6); the round-4 50k probe (see
-    # BENCH/BASELINE.md) pins it below 50k, so 40k promotes at most one
-    # step early and never pays the worse side by more than the gap at
-    # 20k.  Re-measure with bench_queue_state.py when hardware changes.
-    queue_state_auto_threshold: int = 40_000
+    # Promotion threshold.  Bracketed by measurement: the round-3 box
+    # had pandas ahead at 20k queues (2.46 vs 3.38 s/step) and behind at
+    # 100k; the round-4 box's 30k/50k probe (BENCH/BASELINE.md) has
+    # dataframe ahead already at 30k (3.96 vs 6.58) and 3x ahead at 50k
+    # (4.37 vs 13.37) — the crossover sits in [20k, 30k] across both
+    # boxes, so 25k promotes within one step of it either way.
+    # Re-measure with bench_queue_state.py when hardware changes.
+    queue_state_auto_threshold: int = 25_000
     # Frontier storage tiers (the N→4N scaling shape).
     #   True  — two-tier frontier: a compacted BASE cached columnar,
     #           hash-partitioned by (class_key, salt) and sorted by the

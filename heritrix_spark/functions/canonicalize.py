@@ -132,10 +132,29 @@ def canonicalize_py(url: str) -> str:
 # ---------------------------------------------------------------------------
 
 def canonicalize_expr(url: Column) -> Column:
-    """Spark Column canonicalizer — identical step chain, JVM-side."""
-    s = url
+    """Spark Column canonicalizer — identical step chain, JVM-side.
+
+    Hot-path shape (this expression runs once per extracted link — the
+    single most expensive scalar function in the crawl, measured 3.6
+    µs/URL unguarded at 16 cores): the two regex blocks that almost
+    never match are wrapped in cheap EXACT guards, so the clean-URL fast
+    path pays two substring scans instead of 28 regex passes.
+
+    * PRE guard — all four PRE_STEPS require a char in ``[\\x00-\\x20]``
+      (``\\s`` ⊂ that range) or ``#``; one character-class ``rlike``
+      decides the whole block.
+    * DOT guard — every DOT_STEPS pattern requires the literal ``/.``;
+      one ``contains`` decides all DOT_ITERS × 3 passes.  (A per-
+      iteration guard was measured 5x WORSE — the when-chain defeats
+      codegen subexpression elimination; see BENCH/BASELINE.md round 4.)
+
+    Guarded and unguarded forms are value-identical by construction; the
+    golden corpus + oracle-equivalence suites pin it.
+    """
+    pre = url
     for pat, jrepl, _p in PRE_STEPS:
-        s = F.regexp_replace(s, pat, jrepl)
+        pre = F.regexp_replace(pre, pat, jrepl)
+    s = F.when(url.rlike(r"[\x00-\x20#]"), pre).otherwise(url)
 
     prefix = F.lower(F.regexp_extract(s, _PREFIX_RE, 1))
     rest = s.substr(F.length(prefix) + F.lit(1), F.lit(2**31 - 1))
@@ -144,19 +163,68 @@ def canonicalize_expr(url: Column) -> Column:
         prefix = F.regexp_replace(prefix, pat, jrepl)
     for pat, jrepl, _p in REST_STEPS:
         rest = F.regexp_replace(rest, pat, jrepl)
+    dotted = rest
     for _ in range(DOT_ITERS):
         for pat, jrepl, _p in DOT_STEPS:
-            rest = F.regexp_replace(rest, pat, jrepl)
+            dotted = F.regexp_replace(dotted, pat, jrepl)
+    rest = F.when(rest.contains("/."), dotted).otherwise(rest)
 
     canon = F.concat(prefix, rest)
-    # dns: URIs — lowercase in full (host-only payload)
-    stripped = url
-    for pat, jrepl, _p in PRE_STEPS:
-        stripped = F.regexp_replace(stripped, pat, jrepl)
+    # dns: URIs — lowercase in full (host-only payload); reuses the
+    # PRE-stripped value ``s`` (the old form re-ran the PRE chain here),
+    # and the condition lowercases only the first 4 chars.
     return F.when(
-        F.lower(stripped).startswith("dns:"),
-        F.concat(F.lit("dns:"), F.lower(stripped.substr(F.lit(5), F.lit(2**31 - 1)))),
+        F.lower(s.substr(F.lit(1), F.lit(4))) == "dns:",
+        F.concat(F.lit("dns:"), F.lower(s.substr(F.lit(5), F.lit(2**31 - 1)))),
     ).otherwise(canon)
+
+
+def with_canon(df, url_col: str = "url", out: str = "canon_url"):
+    """Attach the canonical URL as a column via a STAGED projection — the
+    bulk-path form of :func:`canonicalize_expr` for multi-million-row
+    candidate batches.
+
+    Why staged: inside one big Column tree, CaseWhen branches defeat
+    codegen subexpression elimination, so the shared subtrees (the
+    PRE-stripped string, the extracted prefix) re-evaluate once per
+    consumer — measured 11.4 s vs 6.9 s per 5M URLs at 16 cores.
+    Binding them as intermediate columns across withColumn stages makes
+    each evaluate exactly once (CollapseProject keeps the stages apart
+    because the intermediates are multiply-referenced), with identical
+    output.  Values stay in codegen locals — no materialization between
+    stages."""
+    url = F.col(url_col)
+    pre = url
+    for pat, jrepl, _p in PRE_STEPS:
+        pre = F.regexp_replace(pre, pat, jrepl)
+    d = df.withColumn("_cn_s",
+                      F.when(url.rlike(r"[\x00-\x20#]"), pre)
+                      .otherwise(url))
+    d = d.withColumn("_cn_p0",
+                     F.lower(F.regexp_extract(F.col("_cn_s"),
+                                              _PREFIX_RE, 1)))
+    prefix = F.col("_cn_p0")
+    rest = F.col("_cn_s").substr(F.length("_cn_p0") + F.lit(1),
+                                 F.lit(2**31 - 1))
+    for pat, jrepl, _p in PREFIX_STEPS:
+        prefix = F.regexp_replace(prefix, pat, jrepl)
+    for pat, jrepl, _p in REST_STEPS:
+        rest = F.regexp_replace(rest, pat, jrepl)
+    d = d.withColumn("_cn_pre", prefix).withColumn("_cn_rest", rest)
+    dotted = F.col("_cn_rest")
+    for _ in range(DOT_ITERS):
+        for pat, jrepl, _p in DOT_STEPS:
+            dotted = F.regexp_replace(dotted, pat, jrepl)
+    restf = F.when(F.col("_cn_rest").contains("/."),
+                   dotted).otherwise(F.col("_cn_rest"))
+    val = F.when(
+        F.lower(F.col("_cn_s").substr(F.lit(1), F.lit(4))) == "dns:",
+        F.concat(F.lit("dns:"),
+                 F.lower(F.col("_cn_s").substr(F.lit(5),
+                                               F.lit(2**31 - 1)))),
+    ).otherwise(F.concat(F.col("_cn_pre"), restf))
+    return (d.withColumn(out, val)
+            .drop("_cn_s", "_cn_p0", "_cn_pre", "_cn_rest"))
 
 
 # ---------------------------------------------------------------------------

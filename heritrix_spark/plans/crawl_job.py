@@ -81,6 +81,7 @@ from __future__ import annotations
 
 import bisect
 import os
+import threading
 import time
 
 import numpy as np
@@ -99,6 +100,7 @@ from heritrix_spark.functions.canonicalize import (
     canonicalize_py,
     host_expr,
     path_expr,
+    with_canon,
 )
 from heritrix_spark.functions.cost import POLICIES_EXPR
 from heritrix_spark.functions.fingerprint import url_fp_py
@@ -538,7 +540,7 @@ class CrawlJob:
             self._maybe_compact_tiers(force=True)
             self._refresh_hot_view()
 
-    def _ck(self, df: DataFrame) -> DataFrame:
+    def _ck(self, df: DataFrame, parts: int | None = None) -> DataFrame:
         """Materialize with bounded partition count AND bounded statistics.
 
         The per-step state merges are unions; left alone, partition counts
@@ -563,7 +565,8 @@ class CrawlJob:
         join planning falls to AQE's runtime sizes, and every explicitly
         small side is already ``F.broadcast``-hinted.
         """
-        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "8"))
+        n = parts or int(self.spark.conf.get("spark.sql.shuffle.partitions",
+                                             "8"))
         out = df.coalesce(n).localCheckpoint(eager=True)
         try:
             jdf = out._jdf
@@ -572,6 +575,33 @@ class CrawlJob:
             return DataFrame(fresh, self.spark)
         except Exception:  # non-classic sessions: keep the checkpoint
             return out
+
+    def _collect_async(self, df: DataFrame):
+        """Launch ``df.collect()`` on a daemon thread and return a join
+        callable — used to OVERLAP independent per-step jobs (Spark's
+        scheduler interleaves the concurrent jobs' tasks; Py4J and job
+        submission are thread-safe).  Only safe for plans whose inputs
+        are already materialized and while no session conf is being
+        mutated (the superstep's conf toggles all happen after every
+        async join).  Exceptions re-raise at join."""
+        out: dict = {}
+
+        def run():
+            try:
+                out["rows"] = df.collect()
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                out["err"] = e
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+
+        def join():
+            th.join()
+            if "err" in out:
+                raise out["err"]
+            return out["rows"]
+
+        return join
 
     def _release_step_cache(self) -> None:
         """Free the per-step candidate-batch cache once the final
@@ -1016,10 +1046,23 @@ class CrawlJob:
         collapses it without launching jobs.
         """
         cfg = self.cfg
-        c = cand.where(scope_accepts_expr(cfg, F.col("url"),
-                                          F.col("hops_path")))
-        c = c.withColumn("canon_url", canonicalize_expr(F.col("url")))
+        # Scope verdict and canonical key are computed as COLUMNS of the
+        # cached batch, and the scope filter runs on the materialized
+        # boolean AFTER the persist (round-4 fix): a `where(scope)`
+        # placed below the cache point gets pushed through the outlink
+        # GENERATOR projection by PushPredicateThroughNonJoin, which
+        # substitutes the whole link-building expression into every one
+        # of the fold's ~10 URL references — measured ~45 s of a 50 s
+        # scope phase on a 22.8M-link batch was that re-evaluation.
+        # Canonicalization uses the staged-projection form (with_canon,
+        # ~2.6x the single-expression Column) and is computed for
+        # pre-scope rows too — at ~0.7 µs/URL that costs far less than
+        # one extra evaluation of the fold ever did.
+        c = with_canon(cand, "url", "canon_url")
         c = c.withColumn("url_fp", F.xxhash64(F.col("canon_url")))
+        c = c.withColumn("_scope_ok",
+                         scope_accepts_expr(cfg, F.col("url"),
+                                            F.col("hops_path")))
         if materialize:
             # Columnar SQL cache, not localCheckpoint: the batch is
             # string-heavy and read twice (narrow fp scan, then the
@@ -1029,10 +1072,11 @@ class CrawlJob:
             # would pin ~1 GB of deserialized string rows per step.
             # Released in superstep() once the final candidates
             # materialize (_release_step_cache).
-            c0 = c.persist()
-            self._step_cache = c0
+            cc = c.persist()
+            self._step_cache = cc
         else:
-            c0 = c
+            cc = c
+        c0 = cc.where(F.col("_scope_ok")).drop("_scope_ok")
         # Narrow membership: distinct unseen fps, bucket-aligned with the
         # durable seen table (repartition INTO the bucket hash ⇒ the
         # dedup agg and the anti-join both run without a further
@@ -1864,6 +1908,22 @@ class CrawlJob:
         sel = self._ck(sel)
         _mark("burst_ck")
 
+        # pandas mode: the clock-input scan (per-queue min-earliest of
+        # untouched frontier rows) depends only on the materialized burst
+        # + the pre-merge frontier, so it runs CONCURRENTLY with the
+        # candidate pipeline on a driver thread — the scheduler
+        # interleaves its tasks into the candidate jobs' driver gaps and
+        # stragglers instead of serializing a full frontier scan after
+        # them.  Row set is identical to the old unioned collect.
+        rem_fut = None
+        if self.qmode != "dataframe":
+            rem_stats = (self.frontier_hot
+                         .join(F.broadcast(sel.select("url_fp")),
+                               "url_fp", "left_anti")
+                         .groupBy("class_key")
+                         .agg(F.min("earliest_ts").alias("ome")))
+            rem_fut = self._collect_async(rem_stats)
+
         # --- post-fetch decide rules (S10) over the bounded ok-set --------
         pf = self._postfetch_flags(sel)
 
@@ -1938,20 +1998,12 @@ class CrawlJob:
         cand_stats = c.groupBy("class_key", "host").agg(*self._cand_aggs())
         stats_df = sel_stats.unionByName(cand_stats,
                                          allowMissingColumns=True)
-        if self.qmode != "dataframe":
-            # pandas mode folds the per-queue min-earliest of untouched
-            # rows into the same collect (the driver clock map).  In
-            # dataframe mode the clock is a 1-row aggregate over the
-            # merged frontier instead — the collect stays
-            # work-proportional, never O(#queues).
-            rem_stats = (self.frontier_hot
-                         .join(F.broadcast(sel.select("url_fp")),
-                               "url_fp", "left_anti")
-                         .groupBy("class_key")
-                         .agg(F.min("earliest_ts").alias("ome")))
-            stats_df = stats_df.unionByName(rem_stats,
-                                            allowMissingColumns=True)
         stats = stats_df.collect()
+        # Join the overlapped clock-input scan (launched right after the
+        # burst materialized).  In dataframe mode the clock is a 1-row
+        # aggregate over the merged frontier instead — the collect stays
+        # work-proportional, never O(#queues).
+        rem_rows = rem_fut() if rem_fut is not None else []
         _mark("stats")
 
         # Burst merge first (WorkQueue.expend + snooze), then candidates.
@@ -1971,15 +2023,20 @@ class CrawlJob:
 
         if self.qmode != "dataframe":
             # Rebuild the clock map: post-merge frontier = untouched rows
-            # (ome) ∪ retry re-enqueues (rme) ∪ new candidates (cme);
-            # prerequisite rows wake at cwake >= cme and never lower a
-            # queue's min.
+            # (ome, from the overlapped scan) ∪ retry re-enqueues (rme)
+            # ∪ new candidates (cme); prerequisite rows wake at
+            # cwake >= cme and never lower a queue's min.
             me: dict[str, int] = {}
             for r in stats:
                 ck = r["class_key"]
-                for v in (r["ome"], r["rme"], r["cme"]):
+                for k in ("rme", "cme"):
+                    v = r[k] if k in r.__fields__ else None
                     if v is not None and (ck not in me or int(v) < me[ck]):
                         me[ck] = int(v)
+            for r in rem_rows:
+                ck, v = r["class_key"], r["ome"]
+                if v is not None and (ck not in me or int(v) < me[ck]):
+                    me[ck] = int(v)
             self._me_map = me
         self._bloom_adapt(n_new)
         self._bloom_fold_delta(c, n_new)
@@ -2046,13 +2103,20 @@ class CrawlJob:
         # never a re-execution of the candidate windows.  Zero-discovery
         # steps (sum cnt == 0 ⇒ no candidates survived scope/dedup/seen
         # and no queues were created) skip the job outright.
+        _mark("sink_lazy")
         if n_new == 0:
             new_rows = self.spark.createDataFrame([], NEW_SCHEMA)
         else:
+            # Small-frame partition cap: per-step discoveries are bounded
+            # by the burst's outlinks (~10^5 rows) — at high core counts
+            # a cores-wide layout costs more in task/codegen fixed
+            # overhead than the parallelism returns (measured 2.7 s at
+            # 16 cores vs 1.1 s at 4 for the same rows).
             new_rows = self._ck(self._finish_candidates(c, wmap, kills)
-                                .select(*NEW_COLS).unionByName(pre))
+                                .select(*NEW_COLS).unionByName(pre),
+                                parts=8)
             self._journal_scheduled(new_rows)
-        _mark("plan_build")
+        _mark("new_rows_ck")
         if self.tiered:
             # Tiered merge: processed fps join the removal chain (base
             # rows leave via broadcast anti-join until compaction); the

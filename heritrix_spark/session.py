@@ -23,6 +23,7 @@ tmpfs); clusters keep their manager-provisioned local dirs, or set
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -85,19 +86,22 @@ def get_spark(
     if extra_conf:
         merged.update(extra_conf)
     if local:
-        # Throughput GC for the single-JVM batch driver: the crawl loop
-        # churns short-lived UnsafeRow/codegen garbage at a steady rate
-        # and has no latency SLO, which is ParallelGC's best case
-        # (measured: +2% over the G1 default on the bench2 8-core leg,
-        # round 3).  Local mode only — on a cluster the executor JVMs
-        # are sized/tuned by the site's spark-defaults.  Appended to any
-        # user-provided extraJavaOptions (last -XX wins in HotSpot, so a
-        # user passing -XX:+UseG1GC there still gets their collector —
-        # the JVM takes the final flag; prepending keeps their choice
-        # authoritative).
+        # GC for the single-JVM batch driver, re-measured every round on
+        # the current engine: round 3 (regex-heavy candidate pipeline)
+        # had ParallelGC +2% at 8 cores; the round-4 engine's hot path
+        # is allocation-rate-dominated (guarded canonicalizer — less CPU
+        # per byte of string churn) and ParallelGC's stop-the-world
+        # collections became the 16-core plateau — G1 measured +17% at
+        # 16 cores (17.4k vs 14.9k URLs/s) and -2% (noise) at 4 cores,
+        # so G1 is the local default again.  Local mode only — cluster
+        # executor JVMs are tuned by the site's spark-defaults.  Applied
+        # only when user extraJavaOptions select no collector: HotSpot
+        # refuses two GC selections outright ("Multiple garbage
+        # collectors selected").
         user_opts = merged.get("spark.driver.extraJavaOptions", "")
-        merged["spark.driver.extraJavaOptions"] = (
-            "-XX:+UseParallelGC " + user_opts).strip()
+        if not re.search(r"-XX:\+Use\w*GC\b", user_opts):
+            merged["spark.driver.extraJavaOptions"] = (
+                "-XX:+UseG1GC " + user_opts).strip()
     for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
