@@ -628,38 +628,52 @@ def q_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_exact_dups(d).select("doc_id").orderBy("doc_id")
 
 
+# The three md5-MinHash entries (signatures → LSH pairs → Jaccard refine)
+# share one signature pipeline per (session, sf_dir): the shingle→minhash
+# pass is computed once and localCheckpointed, the banded pairs derive
+# from it, and each entry reads the shared frames — results are identical
+# to the standalone pipelines (same params, same hash_fn), but the corpus
+# is shingled once instead of three times.
+_MINHASH_SHARED: dict = {}
+
+
+def _shared_minhash(spark: SparkSession, sf_dir: str):
+    from heritrix_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    hit = _MINHASH_SHARED.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2]
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=4, n=2,
+                              hash_fn=F.md5).localCheckpoint()
+    pairs = lsh_candidate_pairs(d, num_hashes=4, bands=2, n=2,
+                                hash_fn=F.md5, sigs=sigs).localCheckpoint()
+    _MINHASH_SHARED[sf_dir] = (spark, sigs, pairs)
+    return sigs, pairs
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram MinHash via pipeline.dedup.minhash_signatures
     (4 permutations; md5 hash_fn for cross-engine equality)."""
-    from heritrix_spark.pipeline.dedup import minhash_signatures
-    d = _t(spark, sf_dir, "documents")
-    return (minhash_signatures(d, num_hashes=4, n=2, hash_fn=F.md5)
-            .orderBy("doc_id"))
+    sigs, _ = _shared_minhash(spark, sf_dir)
+    return sigs.orderBy("doc_id")
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding → candidate pairs via
     pipeline.dedup.lsh_candidate_pairs (2 bands × 2 rows)."""
-    from heritrix_spark.pipeline.dedup import lsh_candidate_pairs
-    d = _t(spark, sf_dir, "documents")
-    return (lsh_candidate_pairs(d, num_hashes=4, bands=2, n=2,
-                                hash_fn=F.md5)
-            .orderBy("id_a", "id_b"))
+    _, pairs = _shared_minhash(spark, sf_dir)
+    return pairs.orderBy("id_a", "id_b")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard refine of the LSH pairs via
     pipeline.dedup.ngram_jaccard (integer intersect/union sizes)."""
-    from heritrix_spark.pipeline.dedup import (
-        lsh_candidate_pairs,
-        ngram_jaccard,
-    )
+    from heritrix_spark.pipeline.dedup import ngram_jaccard
     d = _t(spark, sf_dir, "documents")
-    # The candidate-pair frame is tiny (hundreds of rows) but its lineage
-    # is the whole shingle→minhash→band pipeline — materialize it once so
-    # the jaccard join doesn't recompute the LSH plan per reference.
-    pairs = lsh_candidate_pairs(d, num_hashes=4, bands=2, n=2,
-                                hash_fn=F.md5).localCheckpoint()
+    _, pairs = _shared_minhash(spark, sf_dir)
     return (ngram_jaccard(d, pairs, n=2)
             .select("id_a", "id_b", "n_inter", "n_union")
             .orderBy("id_a", "id_b"))

@@ -28,8 +28,9 @@ CRAWL_SPEC = os.environ.get("SPARK_GRAFT_CRAWL_SPEC", "bench")
 CRAWL_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_STEPS", "5"))
 WARMUP_STEPS = int(os.environ.get("SPARK_GRAFT_CRAWL_WARMUP", "1"))
 SEED_HOSTS = int(os.environ.get("SPARK_GRAFT_SEED_HOSTS", "200"))
-# Big supersteps amortize the fixed ~25 s/step coordination cost (driver
-# plan build, stats collect, broadcast builds, codegen JIT) and give the
+# Big supersteps amortize the fixed per-step coordination cost (job
+# setup, stats collect, driver merges — a few s/step on the round-5
+# engine; see the `phases` medians this script emits) and give the
 # executors real parallel work — the steady-state regime of a cluster
 # crawl.  The old defaults (burst 256 / 0.96 s window / 16 steps)
 # processed ~28k URLs/step, which measures coordination at ANY core

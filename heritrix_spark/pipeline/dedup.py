@@ -91,13 +91,20 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                         n: int = 3, id_col: str = "doc_id",
                         text_col: str = "text",
                         hash_fn: Callable[[Column], Column] = default_hash,
-                        max_bucket: int | None = 2000) -> DataFrame:
+                        max_bucket: int | None = 2000,
+                        sigs: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH banding: docs sharing any band bucket become candidate
     pairs.  The self-join is keyed on short band hashes — the only shuffle
     over pairs is within buckets (bounded by ``max_bucket``), which is
-    what keeps this sub-quadratic at corpus scale."""
+    what keeps this sub-quadratic at corpus scale.
+
+    ``sigs`` supplies a precomputed :func:`minhash_signatures` frame
+    (same ``num_hashes``/``n``/``hash_fn``) so a pipeline that also
+    surfaces the signatures pays the shingle→minhash pass once."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, hash_fn)
+    if sigs is None:
+        sigs = minhash_signatures(df, num_hashes, n, id_col, text_col,
+                                  hash_fn)
     band_cols = [
         F.struct(F.lit(b).alias("band"),
                  hash_fn(F.concat_ws(

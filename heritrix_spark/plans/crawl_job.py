@@ -89,7 +89,7 @@ import pandas as pd
 
 # SPARK_GRAFT_TRACE=1 prints per-superstep phase wall times (perf triage).
 _TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") not in ("", "0")
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -576,6 +576,25 @@ class CrawlJob:
         except Exception:  # non-classic sessions: keep the checkpoint
             return out
 
+    def _ck_lazy(self, df: DataFrame, parts: int | None = None) -> DataFrame:
+        """Materialize-on-first-use checkpoint (same stats firewall as
+        :meth:`_ck`, ZERO dedicated jobs): the first consuming job
+        computes and persists the RDD, every later consumer scans the
+        blocks — used for small per-step frames whose first consumer is
+        itself a materialization (e.g. new rows folded into the delta
+        merge), where an eager checkpoint would pay a whole extra job of
+        fixed task/codegen overhead."""
+        n = parts or int(self.spark.conf.get("spark.sql.shuffle.partitions",
+                                             "8"))
+        out = df.coalesce(n).localCheckpoint(eager=False)
+        try:
+            jdf = out._jdf
+            fresh = self.spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False)
+            return DataFrame(fresh, self.spark)
+        except Exception:  # non-classic sessions: keep the checkpoint
+            return out
+
     def _collect_async(self, df: DataFrame):
         """Launch ``df.collect()`` on a daemon thread and return a join
         callable — used to OVERLAP independent per-step jobs (Spark's
@@ -729,8 +748,10 @@ class CrawlJob:
         queue — bounded by the burst, never by the frontier.
         """
         cfg = self.cfg
+        # _now rides the qdf join as a column (codegen-stable across
+        # steps — see _live_queue_frame).
         elig = F.col("earliest_ts") <= F.greatest(F.col("wake_ts"),
-                                                  F.lit(now))
+                                                  F.col("_now"))
         k = cfg.burst_max
         parts = []
         live = self._base_live()
@@ -854,19 +875,37 @@ class CrawlJob:
             return self.spark.createDataFrame([], schema)
         return self.spark.createDataFrame(pdf)
 
-    def _live_queue_frame(self, qcols: list[str]) -> DataFrame:
+    def _live_queue_frame(self, qcols: list[str],
+                          now: int | None = None) -> DataFrame:
         """Non-retired queues, selected columns — the burst-eligibility
         side.  dataframe mode reads the materialized state (no driver
-        round-trip); pandas mode serializes the live rows."""
+        round-trip); pandas mode serializes the live rows.
+
+        ``now`` attaches the virtual clock as COLUMNS (``_now``,
+        ``_step``) instead of the burst plan embedding them as literals:
+        primitive literals are inlined into generated Java source, so a
+        per-step clock literal made every step recompile the whole burst
+        plan's codegen stages — with the clock as a column the generated
+        source is step-invariant and the janino cache hits."""
         if self.qmode == "dataframe":
-            return (self.queues_sdf.where(~F.col("retired"))
-                    .select(*qcols))
+            q = self.queues_sdf.where(~F.col("retired")).select(*qcols)
+            if now is not None:
+                clock = self.spark.createDataFrame(
+                    [(int(now), int(self.step))], "_now long, _step long")
+                q = q.crossJoin(F.broadcast(clock))
+            return q
         live = self.queues[~self.queues["retired"]]
         if len(live):
-            return self.spark.createDataFrame(live[qcols])
+            live = live[qcols]
+            if now is not None:
+                live = live.assign(_now=np.int64(now),
+                                   _step=np.int64(self.step))
+            return self.spark.createDataFrame(live)
         schema = ", ".join(
             f"{c} {'string' if c == 'class_key' else 'long'}"
             for c in qcols)
+        if now is not None:
+            schema += ", _now long, _step long"
         return self.spark.createDataFrame([], schema)
 
     def _maybe_bcast(self, df: DataFrame) -> DataFrame:
@@ -898,14 +937,22 @@ class CrawlJob:
         merge (:meth:`_merge_candidate_queues_sdf`), so a 10^7-queue
         frontier replay never pushes an O(#queues) collect through the
         driver (round-3 judge wrong #2)."""
-        c = self._ck(self._candidate_plan(cand))
-        self._release_step_cache()
+        plan = self._candidate_plan(cand)
+        q_obs = None
         if self._qmode_auto and self.qmode != "dataframe":
-            # One cheap distinct-count over the materialized batch: if
-            # this seed frame alone crosses the promotion threshold,
-            # promote FIRST so the merge below is the frame-based one.
-            n_ck = (c.select("class_key").dropDuplicates(["class_key"])
-                    .count())
+            # Queue-count estimate for the promotion decision, observed
+            # on the materialization job itself (HLL sketch, mergeable)
+            # instead of a separate distinct-count pass over the batch —
+            # the threshold is a placement heuristic, so the ~2% rsd is
+            # immaterial (exact at small cardinalities via sparse mode).
+            q_obs = Observation()
+            plan = plan.observe(
+                q_obs, F.approx_count_distinct("class_key", 0.02)
+                .alias("n_ck"))
+        c = self._ck(plan)
+        self._release_step_cache()
+        if q_obs is not None:
+            n_ck = int(q_obs.get["n_ck"] or 0)
             if (n_ck + len(self.queues)
                     > self.cfg.queue_state_auto_threshold):
                 self._promote_queue_state()
@@ -917,10 +964,12 @@ class CrawlJob:
         else:
             stats = c.groupBy("class_key", "host").agg(
                 *self._cand_aggs()).collect()
-            pre, wmap, kills = self._merge_candidate_queues(stats)
+            pre, wmap, kills, _aff = self._merge_candidate_queues(stats)
             n_new = sum(int(r["cnt"]) for r in stats)
-        new_rows = self._ck(self._finish_candidates(c, wmap, kills)
-                            .select(*NEW_COLS).unionByName(pre))
+        fin = self._finish_candidates(c, wmap, kills).select(*NEW_COLS)
+        if pre is not None:
+            fin = fin.unionByName(pre)
+        new_rows = self._ck(fin)
         self._journal_scheduled(new_rows)
         if self.tiered:
             self._delta = self._ck(
@@ -1104,10 +1153,16 @@ class CrawlJob:
             unseen = fps.join(self.seen.select("url_fp"), "url_fp",
                               "left_anti")
         if materialize:
+            # The broadcast-vs-shuffle attach decision needs the unseen
+            # cardinality — observed on the checkpoint job itself rather
+            # than a separate count() job per step.
+            u_obs = Observation()
+            unseen = unseen.observe(u_obs, F.count(F.lit(1)).alias("n"))
             unseen = self._ck(unseen)
+            n_unseen = int(u_obs.get["n"] or 0)
             if self._tracecb:
                 self._tracecb("cand_unseen_ck")
-            if unseen.count() <= self.UNSEEN_BCAST_ROWS:
+            if n_unseen <= self.UNSEEN_BCAST_ROWS:
                 unseen = F.broadcast(unseen)
         else:
             unseen = F.broadcast(unseen)
@@ -1143,10 +1198,20 @@ class CrawlJob:
         # prerequisite inserts.
         w_q = Window.partitionBy("class_key").orderBy(*_ORD)
         c = c.withColumn("_r", F.row_number().over(w_q))
-        return c.join(
+        c = c.join(
             self._maybe_bcast(
                 self._queues_df(["class_key", "next_ordinal"])),
             "class_key", "left")
+        # Provisional ordinal under the no-kill/no-prerequisite law —
+        # EXACT whenever the driver merge decides no prereq inserts and
+        # no claims (the steady state: every host already contacted).
+        # Materializing it here lets the superstep skip the separate
+        # new-rows job entirely on that path (_finish_candidates
+        # overwrites the column when kills/wmap are non-empty).
+        return c.withColumn(
+            "ordinal",
+            (F.coalesce(F.col("next_ordinal"), F.lit(0))
+             + F.col("_r") - 1).cast("long"))
 
     def _cand_aggs(self) -> list:
         """Per-(queue, host) candidate aggregates (driver merge inputs).
@@ -1296,7 +1361,9 @@ class CrawlJob:
 
         * prereq rows — the dns/robots items actually inserted this batch
           (PreconditionEnforcer semantics), with their exact sequential-law
-          ordinals;
+          ordinals; ``None`` when the batch inserted none (the steady
+          state — lets the superstep take the provisional-ordinal fast
+          path and skip the new-rows job);
         * ``wmap[(class_key, host)] = (n_inserted, gminr)`` — the ordinal-
           shift inputs :meth:`_finish_candidates` folds into candidate
           ordinals;
@@ -1319,9 +1386,8 @@ class CrawlJob:
         wmap: dict[tuple[str, str], tuple[int, int]] = {}
         rows = [r for r in stats
                 if "cnt" in r.__fields__ and r["cnt"]]
-        empty = self.spark.createDataFrame([], NEW_SCHEMA)
         if not rows:
-            return empty, wmap, kills
+            return None, wmap, kills, set()
         # --- claim pass: arrival-ordered prereq canon claims -----------
         events: list[tuple[tuple, int, str, object]] = []
         for r in rows:
@@ -1432,12 +1498,17 @@ class CrawlJob:
                     new_qrows, columns=QUEUE_COLS).set_index("class_key")
                 q = pd.concat([q, add])
             self.queues = _normalize_queues(q.reset_index())
+        # Queues whose candidate ordinals the batch effects actually
+        # perturb (prereq inserts shift ordinals; kills renumber ranks) —
+        # every other queue's provisional ordinal is already final, so
+        # the superstep's windowed fix-up runs only over this subset.
+        affected = ({ck for ck, _h in wmap} | set(killed_rs_by_ck))
         if not pre_rows:
-            return empty, wmap, kills
+            return None, wmap, kills, affected
         nq = self.spark.createDataFrame(
             pre_rows, "class_key string, host string, _ts long,"
                       " _dns boolean, _rob boolean, _base long")
-        return self._prereq_frame(nq).coalesce(1), wmap, kills
+        return self._prereq_frame(nq).coalesce(1), wmap, kills, affected
 
     def _merge_candidate_queues_sdf(self, c: DataFrame):
         """Frame-based image of :meth:`_merge_candidate_queues` for the
@@ -1729,7 +1800,7 @@ class CrawlJob:
         qcols = ["class_key", "wake_ts", "balance"] + (
             ["successes", "fetches", "bytes"] if quota_on else []) + (
             ["sgroup"] if hs_on else [])
-        qdf = self._live_queue_frame(qcols)
+        qdf = self._live_queue_frame(qcols, now=now)
         if hs_on:
             # Attach the queue's effective knobs: a broadcast join against
             # the (≤ #sheets+1)-row settings dimension.
@@ -1756,7 +1827,8 @@ class CrawlJob:
             elig = self.frontier_hot.join(self._maybe_bcast(qdf),
                                           "class_key")
             elig = elig.where(F.col("earliest_ts")
-                              <= F.greatest(F.col("wake_ts"), F.lit(now)))
+                              <= F.greatest(F.col("wake_ts"),
+                                            F.col("_now")))
             a = (top_k_per_queue(
                     elig, ["class_key"],
                     [F.col("directive"), F.col("cost"), F.col("ordinal")],
@@ -1882,7 +1954,7 @@ class CrawlJob:
             b = b.drop("sgroup", "g_dfactor", "g_mind", "g_maxd", "g_rep",
                        "g_budget", "g_maxs", "g_maxf", "g_maxb")
         wp = w.rowsBetween(Window.unboundedPreceding, -1)
-        s0 = F.greatest(F.col("wake_ts"), F.lit(now))
+        s0 = F.greatest(F.col("wake_ts"), F.col("_now"))
         b = (b.withColumn("_cum_t",
                           F.coalesce(F.sum("_time_cost").over(wp), F.lit(0)))
              .withColumn("_cum_c",
@@ -1905,7 +1977,17 @@ class CrawlJob:
                       F.lit(C.EV_RETRY))
                 .otherwise(F.lit(C.EV_FAILURE))))
         _mark("burst_plan")
+        # Piggyback the ok-row count on the burst materialization job
+        # (Observation metrics ride the checkpoint action) — replaces the
+        # separate ok_plan.isEmpty() job the loop used to launch per step.
+        sel_obs = Observation()
+        sel = sel.observe(
+            sel_obs,
+            F.sum(((F.col("status") == C.S_OK)
+                   & (F.col("kind_b") == C.KIND_REAL_B)).cast("long"))
+            .alias("n_ok"))
         sel = self._ck(sel)
+        n_ok = int(sel_obs.get["n_ok"] or 0)
         _mark("burst_ck")
 
         # pandas mode: the clock-input scan (per-queue min-earliest of
@@ -1934,7 +2016,10 @@ class CrawlJob:
             ok_plan = ok_plan.join(
                 F.broadcast(pf.where(F.col("_xok")).select("url_fp")),
                 "url_fp", "left_semi")
-        if ok_plan.isEmpty():
+        # n_ok == 0 ⇒ ok_plan is empty (the extract-rules gate can only
+        # shrink it further) — the observed count costs no job where
+        # isEmpty() launched one per step.
+        if n_ok == 0:
             # Drain/retry step: no successful real fetch → no outlinks.
             # A local empty candidate relation lets Catalyst collapse the
             # whole pipeline (PropagateEmptyRelation) — no job 2 at all.
@@ -2016,7 +2101,7 @@ class CrawlJob:
                 self._apply_burst_pandas(burst_rows, now)
             self._update_host_state(burst_rows)
         _mark("pandas_merge")
-        pre, wmap, kills = self._merge_candidate_queues(stats)
+        pre, wmap, kills, affected = self._merge_candidate_queues(stats)
         n_new = sum(int(r["cnt"]) for r in stats
                     if "cnt" in r.__fields__ and r["cnt"])
         _mark("cand_merge")
@@ -2047,8 +2132,12 @@ class CrawlJob:
         # attached ONCE per checkpoint from the cold table (same deferred
         # pattern as the payload join) — per-step sink lineage never
         # touches strings.
+        # crawl_step reads the _step column sel already carries (clock
+        # columns, _live_queue_frame) — a per-step literal here would give
+        # every pending sink branch its own codegen source, turning the
+        # checkpoint flush into O(interval) janino compiles.
         events = sel.select(
-            F.lit(self.step).alias("crawl_step"), "class_key",
+            F.col("_step").cast("int").alias("crawl_step"), "class_key",
             "url_fp", _kind_str(F.col("kind_b")).alias("kind"),
             "is_seed", "directive", "cost",
             "ordinal",
@@ -2059,7 +2148,7 @@ class CrawlJob:
         self._pending["lineage"].append(events)
         self._pending["metrics"].append(
             sel.groupBy("class_key").agg(
-                F.lit(self.step).alias("crawl_step"),
+                F.max("_step").cast("int").alias("crawl_step"),
                 F.count("*").alias("processed"),
                 F.sum((F.col("event") == C.EV_SUCCESS).cast("int"))
                 .alias("succeeded"),
@@ -2080,7 +2169,7 @@ class CrawlJob:
         # Payload join deferred to checkpoint time: parts are unioned and
         # joined against `images` once per checkpoint, not once per step.
         self._pending["fetched"].append(ok.select(
-            F.lit(self.step).alias("crawl_step"),
+            F.col("_step").cast("int").alias("crawl_step"),
             "url_fp", "class_key",
             _image_id_str(F.col("image_num")).alias("image_id"),
             "fetch_start", "fetch_end",
@@ -2107,14 +2196,38 @@ class CrawlJob:
         if n_new == 0:
             new_rows = self.spark.createDataFrame([], NEW_SCHEMA)
         else:
-            # Small-frame partition cap: per-step discoveries are bounded
-            # by the burst's outlinks (~10^5 rows) — at high core counts
-            # a cores-wide layout costs more in task/codegen fixed
-            # overhead than the parallelism returns (measured 2.7 s at
-            # 16 cores vs 1.1 s at 4 for the same rows).
-            new_rows = self._ck(self._finish_candidates(c, wmap, kills)
-                                .select(*NEW_COLS).unionByName(pre),
-                                parts=8)
+            # Per-queue ordinal split: batch effects (prereq inserts,
+            # claims/kills) perturb ordinals ONLY inside the queues in
+            # ``affected`` — everywhere else the provisional ordinal
+            # materialized in the candidate frame is already final.  The
+            # windowed fix-up therefore runs over the (small, shrinking)
+            # affected subset, the rest is a narrow projection of the
+            # checkpointed batch, and the union stays LAZY: the delta
+            # merge materializes it in its own job, so the dedicated
+            # new-rows job — the one phase that got SLOWER with cores
+            # (2.35 s at 16 vs 1.22 s at 4 for identical rows, pure
+            # task/codegen fixed overhead) — disappears.  Affected keys
+            # ride a broadcast (not an isin literal list) to keep the
+            # generated source step-invariant.
+            if affected or pre is not None:
+                adf = F.broadcast(self.spark.createDataFrame(
+                    [(ck,) for ck in sorted(affected)],
+                    "class_key string"))
+                fin = (self._finish_candidates(
+                           c.join(adf, "class_key", "left_semi"),
+                           wmap, kills)
+                       .select(*NEW_COLS))
+                if pre is not None:
+                    fin = fin.unionByName(pre)
+                # Non-eager checkpoint: the delta merge's job computes
+                # and pins this frame; the seen delta, cold appends and
+                # journal then scan the blocks instead of re-running the
+                # fix-up windows.
+                new_rows = self._ck_lazy(
+                    c.join(adf, "class_key", "left_anti")
+                    .select(*NEW_COLS).unionByName(fin), parts=8)
+            else:
+                new_rows = c.select(*NEW_COLS)
             self._journal_scheduled(new_rows)
         _mark("new_rows_ck")
         if self.tiered:
@@ -2456,12 +2569,14 @@ class CrawlJob:
         stays LAZY — one materialization per superstep happens after the
         candidate bump/create fold."""
         cfg = self.cfg
+        # The clock rides the update rows as a column (codegen-stable
+        # across steps — same rationale as _live_queue_frame).
         upd = F.broadcast(self.spark.createDataFrame(
             [(r["class_key"], int(r["wake0"]), int(r["tsum"]),
               int(r["charged"]), int(r["rsucc"]), int(r["rresp"]),
-              int(r["rbytes"])) for r in burst_rows],
+              int(r["rbytes"]), int(now)) for r in burst_rows],
             "class_key string, wake0 long, tsum long, charged long,"
-            " rsucc long, rresp long, rbytes long"))
+            " rsucc long, rresp long, rbytes long, _mnow long"))
         q = self.queues_sdf.join(upd, "class_key", "left")
         hit = F.col("wake0").isNotNull()
         chg = F.coalesce(F.col("charged"), F.lit(0))
@@ -2500,7 +2615,7 @@ class CrawlJob:
                 retired = retired | (nbyt >= F.lit(cfg.max_bytes_per_host))
         self.queues_sdf = q.select(
             "class_key",
-            F.when(hit, F.greatest(F.col("wake0"), F.lit(now))
+            F.when(hit, F.greatest(F.col("wake0"), F.col("_mnow"))
                    + F.col("tsum"))
             .otherwise(F.col("wake_ts")).cast("long").alias("wake_ts"),
             F.when(hit & (nb <= 0), rep)
@@ -2579,10 +2694,10 @@ class CrawlJob:
         from heritrix_spark.functions.queue_assign import ip_of_host_expr
         upd = self.spark.createDataFrame(
             [(r["class_key"], int(r["rsucc"]), int(r["nfail"]),
-              bool(r["dns_ok"]), bool(r["rob_ok"]))
+              bool(r["dns_ok"]), bool(r["rob_ok"]), int(self.step))
              for r in burst_rows],
             "class_key string, u_rsucc long, u_nfail long,"
-            " u_dns boolean, u_rob boolean")
+            " u_dns boolean, u_rob boolean, u_step long")
         h = self.host_state_sdf.join(upd, "class_key", "full_outer")
         known = F.col("ip_set_step").isNotNull()
         rsucc = F.coalesce(F.col("u_rsucc"), F.lit(0))
@@ -2595,7 +2710,7 @@ class CrawlJob:
             F.when(resolves, ip_of_host_expr(
                 F.split(F.col("class_key"), ":").getItem(0)))
             .otherwise(F.col("ip")).alias("ip"),
-            F.when(resolves, F.lit(self.step))
+            F.when(resolves, F.col("u_step"))
             .otherwise(F.when(known, F.col("ip_set_step"))
                        .otherwise(F.lit(-1)))
             .cast("long").alias("ip_set_step"),
@@ -2620,8 +2735,13 @@ class CrawlJob:
         """Append F+ (scheduled) journal entries — RecoveryJournal's
         ``F+`` lines, kept in their own ``scheduled`` log table so the
         processed-event ``lineage`` reports stay pure."""
-        self._pending["scheduled"].append(new_rows.select(
-            F.lit(self.step).alias("crawl_step"),
+        # Step number rides a 1-row broadcast (not a literal) so every
+        # step's pending branch shares one codegen source at flush time.
+        stepdf = self.spark.createDataFrame(
+            [(int(self.step),)], "_jstep int")
+        self._pending["scheduled"].append(new_rows.crossJoin(
+            F.broadcast(stepdf)).select(
+            F.col("_jstep").alias("crawl_step"),
             *[_image_id_str(F.col("image_num")).alias("image_id")
               if c == "image_id"
               else _kind_str(F.col("kind_b")).alias("kind")

@@ -63,6 +63,11 @@ def get_spark(
         # Engine arithmetic (hash-derived ints) relies on Java long semantics.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Static conf (default 100): the superstep loop compiles dozens of
+        # distinct codegen stages per step; at 100 entries the janino
+        # class cache thrashes and every step pays recompiles of the same
+        # sources.  Sized to hold the whole loop's working set.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     # Shuffle/spill on tmpfs in LOCAL mode only (single-box shuffle writes
     # otherwise serialize on disk bandwidth and flatten core scaling);

@@ -91,7 +91,7 @@ def main():
 
     now = job.now
     qcols = ["class_key", "wake_ts", "balance"]
-    qdf = job._live_queue_frame(qcols)
+    qdf = job._live_queue_frame(qcols, now=job.now)
     base = job._base
     t("A_base_scan", lambda: base.count())
     live = job._base_live()
