@@ -622,6 +622,30 @@ class CrawlJob:
 
         return join
 
+    def _run_async(self, fn):
+        """Run ``fn`` (a Spark action over an ALREADY-BUILT plan) on a
+        daemon thread; returns a join callable.  Same safety contract as
+        :meth:`_collect_async`: inputs materialized, no session conf
+        mutation until joined."""
+        out: dict = {}
+
+        def run():
+            try:
+                out["val"] = fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                out["err"] = e
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+
+        def join():
+            th.join()
+            if "err" in out:
+                raise out["err"]
+            return out["val"]
+
+        return join
+
     def _release_step_cache(self) -> None:
         """Free the per-step candidate-batch cache once the final
         candidate frame has materialized (its BHJ probe side no longer
@@ -1765,6 +1789,31 @@ class CrawlJob:
         self.now = max(self.now, int(row["ready"]))
 
     def superstep(self) -> int:
+        """Run one superstep (see :meth:`_superstep_impl`).
+
+        The step body runs with AQE disabled in pandas queue mode: every
+        recurring exchange in the loop is bounded and pre-sized (burst
+        window, narrow fp membership, small merges), the one size-driven
+        join choice — the unseen string attach — is decided explicitly
+        from an Observation count, and all small sides carry explicit
+        broadcast hints, so adaptive re-planning buys nothing while its
+        per-exchange query-stage materialization adds driver latency to
+        every one of the step's ~8 jobs (measured: 18.8k → 22.3-23.3k
+        URLs/s at 16 cores on bench2).  DataFrame queue mode keeps AQE:
+        its queue-dimension joins are deliberately un-hinted so runtime
+        sizes pick broadcast vs shuffle as the queue table grows past
+        driver bounds."""
+        aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        aqe_off = self.qmode != "dataframe" and aqe == "true"
+        if aqe_off:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._superstep_impl()
+        finally:
+            if aqe_off:
+                self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    def _superstep_impl(self) -> int:
         """Run one superstep; returns number of processed rows.
 
         Per-step Spark jobs (the scaling contract — every recurring
@@ -1990,6 +2039,36 @@ class CrawlJob:
         n_ok = int(sel_obs.get["n_ok"] or 0)
         _mark("burst_ck")
 
+        # finished(): retry re-enqueue rows (shared by both frontier
+        # layouts; built here so the tiered delta merge below can start
+        # before the candidate pipeline).
+        retry = (sel.where(F.col("event") == C.EV_RETRY)
+                 .withColumn("retries", (F.col("retries") + 1).cast("int"))
+                 .withColumn("earliest_ts",
+                             (F.col("fetch_end")
+                              + F.lit(cfg.retry_delay_ms)).cast("long"))
+                 .select(*HOT_COLS))
+        sel_fps = sel.select("url_fp")
+        delta_fut = None
+        if self.tiered:
+            # Tiered delta merge, processed-removal + retry half: its
+            # only input is the materialized burst, so the job runs on a
+            # daemon thread OVERLAPPED with the candidate pipeline (the
+            # same pattern as the clock-input scan) instead of as a
+            # dedicated ~2 s serial phase at step end; the step's new
+            # discoveries union in lazily once the merge decisions are
+            # known.  Shuffle-hash, not broadcast: both sides are small
+            # (delta ~10^5 narrow rows, burst fps ~8 B each), so two
+            # parallel exchanges beat a driver-serial broadcast
+            # collect+build.  The base-side removal anti-join keeps its
+            # broadcast — its stream side is the whole base and must not
+            # exchange.
+            merged_base = (self._delta.join(sel_fps.hint("shuffle_hash"),
+                                            "url_fp", "left_anti")
+                           .unionByName(retry))
+            delta_fut = self._run_async(
+                lambda: self._ck(merged_base, parts=8))
+
         # pandas mode: the clock-input scan (per-queue min-earliest of
         # untouched frontier rows) depends only on the materialized burst
         # + the pre-merge frontier, so it runs CONCURRENTLY with the
@@ -2179,13 +2258,9 @@ class CrawlJob:
         # Hot merge is the per-step materialization (narrow rows only);
         # the cold table just appends the new rows' strings — retry rows'
         # strings are already present, removed rows' strings are dropped
-        # lazily at checkpoint-time compaction.
-        retry = (sel.where(F.col("event") == C.EV_RETRY)
-                 .withColumn("retries", (F.col("retries") + 1).cast("int"))
-                 .withColumn("earliest_ts",
-                             (F.col("fetch_end")
-                              + F.lit(cfg.retry_delay_ms)).cast("long"))
-                 .select(*HOT_COLS))
+        # lazily at checkpoint-time compaction.  (``retry`` was built
+        # right after the burst so the tiered delta merge could overlap
+        # the candidate pipeline.)
         # One materialization of the step's new rows (strings included):
         # journal, seen delta, hot merge and the cold append all read this
         # frame — the cold union chain is then pure materialized scans,
@@ -2233,18 +2308,21 @@ class CrawlJob:
         if self.tiered:
             # Tiered merge: processed fps join the removal chain (base
             # rows leave via broadcast anti-join until compaction); the
-            # small delta alone is rewritten — retry re-enqueues and new
-            # rows append to it.  The untouched base is never copied.
-            sel_fps = sel.select("url_fp")
+            # small delta alone is rewritten — retry re-enqueues were
+            # merged by the overlapped job launched after the burst, and
+            # the step's new rows union in LAZILY (their non-eager
+            # checkpoint materializes under the seen-delta write / next
+            # consuming job).  The untouched base is never copied.
             self._removed.append(sel_fps)
             self._removed_rows += n_processed
-            merged = (self._delta.join(F.broadcast(sel_fps), "url_fp",
-                                       "left_anti")
-                      .unionByName(retry))
+            base_delta = delta_fut()
             if n_new:
-                merged = merged.unionByName(new_rows.select(*HOT_COLS))
+                self._delta = base_delta.unionByName(
+                    new_rows.select(*HOT_COLS))
                 self._delta_rows += n_new
-            self._delta = self._ck(merged)
+            else:
+                self._delta = base_delta
+            _mark("delta_ck")
             self._maybe_compact_tiers()
             self._maybe_minor_compact()
             self._refresh_hot_view()
