@@ -12,36 +12,44 @@ as ``Window.partitionBy(class_key).orderBy(directive, cost, ordinal)``),
 LinksScoper.java`` + ``FrontierScheduler.java`` (candidate pipeline),
 ``util/BdbUriUniqFilter.java`` (URL-seen: exact anti-join on ``seen``).
 
-Dataflow per superstep (DataFrame ops, zero per-row Python; FIVE Spark
-jobs and ONE driver collect per step — every per-step job touches ONLY
-the narrow HOT frontier columns, URL strings never enter a per-step
-shuffle):
+Dataflow per superstep (DataFrame ops, zero per-row Python; FOUR
+critical-path Spark jobs + ONE driver collect per step, with the clock
+input and the delta merge overlapped on daemon threads — every
+per-step job touches ONLY the narrow HOT frontier columns, URL strings
+never enter a per-step shuffle):
 
-    burst  = frontier_hot ⋈ broadcast(queue_state) → salted two-phase
-             row_number per class_key over (directive, cost, ordinal)
-             (rank<=k filters rewritten to map-side + final
-             WindowGroupLimit — Zipf-head queues cost bounded top-k,
-             never an unbounded sort) → robots verdict (a precomputed
-             hot bool — rules are crawl-static, evaluated once per
-             unique URL at discovery) → image-existence (once-built
-             sorted-id Arrow probe; broadcast join for small corpora) →
-             quota verdict → running sums of virtual time + budget
-             charge → prefix-closed include predicate
-    sel    = localCheckpoint(burst HOT rows)        [job 1]
-    links  = outlinks_of(cold ⋈ broadcast(sel 200s) — one shuffle-free
-             string-attach scan) → scope fold → robots verdict →
-             intra-batch dedup (window) → anti-join seen ON url_fp →
-             per-queue ordinals (window)            [job 2]
+    burst  = frontier_hot ⋈ broadcast(queue_state + clock columns) →
+             salted two-phase row_number per class_key over (directive,
+             cost, ordinal) (rank<=k filters rewritten to map-side +
+             final WindowGroupLimit — Zipf-head queues cost bounded
+             top-k, never an unbounded sort) → robots verdict (a
+             precomputed hot bool — rules are crawl-static, evaluated
+             once per unique URL at discovery) → image-existence
+             (once-built sorted-id Arrow probe; broadcast join for
+             small corpora) → quota verdict → running sums of virtual
+             time + budget charge → prefix-closed include predicate
+    sel    = localCheckpoint(burst HOT rows) + OBSERVED ok-count
+                                                    [job 1]
+    delta' = (delta anti-join(sel, shuffle-hash) ∪ retry-updates) —
+             OVERLAPPED with the candidate jobs on a daemon thread;
+             new rows union in lazily at step end   [async job]
+    unseen = candidate batch (extract → scope fold → canonicalize →
+             fp) cached columnar; narrow fp membership vs seen +
+             OBSERVED cardinality (the broadcast-vs-shuffle attach
+             decision — no count job)               [job 2]
+    cand   = attach strings to unseen survivors → intra-batch dedup
+             (window) → per-queue provisional ordinals (window)
+                                                    [job 3]
     stats  = ONE union aggregate: per-queue burst effects (wake/charge/
              retry-min) ∪ candidate counts ∪ min-earliest of untouched
-             frontier rows — feeds the vectorized pandas queue merge,
-             prerequisite injection for new queues, AND the virtual
-             clock (no separate clock job)          [job 3, 1 collect]
-    new    = localCheckpoint(new rows, strings included — read by the
-             journal, the seen delta, the hot merge and the cold
-             append)                                [job 4]
-    hot'   = frontier_hot anti-join(sel) ∪ retry-updates ∪ new(hot)
-                                                    [job 5]
+             frontier rows (overlapped clock-input scan) — feeds the
+             vectorized pandas queue merge, prerequisite injection for
+             new queues, AND the virtual clock      [job 4, 1 collect]
+    new    = provisional ordinals are FINAL outside the queues with
+             prereq inserts/kills; the windowed fix-up runs over that
+             (small) subset only, the union is a non-eager checkpoint
+             materialized under the seen-delta write — NO dedicated
+             new-rows job
     cold'  = cold ∪ new(strings) — LAZY append-only union of
              materialized increments; compacted to live fingerprints at
              checkpoint time (never scanned by the scheduling law)
